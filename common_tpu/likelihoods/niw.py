@@ -1,0 +1,220 @@
+"""Normal–Inverse-Wishart likelihood (multivariate Gaussian, conjugate).
+
+Reference analog: `distributions:include/distributions/models/nw.hpp`
+(normal_inverse_wishart Shared/Group: add_value/remove_value/score_value/
+score_data with per-group mean+scatter suffstats and Student-t predictive),
+surfaced through ``common:microscopes/models.py`` as the ``niw`` descriptor.
+
+TPU-native design: suffstats are exact sums ``(n, Σx, ΣxxT)`` with leading
+cluster axis; the Student-t predictive and the marginal likelihood are
+computed for *all K clusters at once* from batched Cholesky factorizations
+(vmapped `jnp.linalg.cholesky` + triangular solves), and the uncollapsed
+path scores an [N, K] table via per-cluster matmuls that engage the MXU.
+
+Hyperparameters (Murphy, "Conjugate Bayesian analysis of the Gaussian"):
+  mu0 [D]   prior mean
+  kappa     prior pseudo-count on the mean (reference calls it `lambda`)
+  psi [D,D] prior scatter matrix
+  nu        prior degrees of freedom (> D - 1)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+from jax.scipy.special import gammaln, multigammaln
+
+from common_tpu.likelihoods import base
+
+
+def _outer(a, b):
+    return a[..., :, None] * b[..., None, :]
+
+
+def _chol_logdet(chol):
+    """log|A| from its Cholesky factor (batched)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+
+
+class NIW(base.Likelihood):
+    name = "niw"
+    conjugate = True
+
+    def default_hyper(self):
+        # 2-d default; real use passes explicit hypers (models.niw(d))
+        return {
+            "mu0": jnp.zeros(2),
+            "kappa": jnp.asarray(1.0),
+            "psi": jnp.eye(2),
+            "nu": jnp.asarray(3.0),
+        }
+
+    def init_stats(self, hyper, batch_shape):
+        d = hyper["mu0"].shape[-1]
+        dt = hyper["mu0"].dtype
+        return {
+            "n": jnp.zeros(batch_shape, dt),
+            "sum_x": jnp.zeros((*batch_shape, d), dt),
+            "sum_xxT": jnp.zeros((*batch_shape, d, d), dt),
+        }
+
+    def tx(self, hyper, x, mask):
+        m = jnp.asarray(mask, x.dtype)
+        return {"n": m, "sum_x": m * x, "sum_xxT": m * _outer(x, x)}
+
+    # -- posterior NIW parameters from suffstats (broadcasts over batch) --
+    def posterior_hyper(self, hyper, stats):
+        mu0, kappa, psi, nu = (
+            hyper["mu0"], hyper["kappa"], hyper["psi"], hyper["nu"],
+        )
+        n = stats["n"]
+        kappa_n = kappa + n
+        mu_n = (kappa * mu0 + stats["sum_x"]) / kappa_n[..., None]
+        nu_n = nu + n
+        # psi_n = psi + Σ x xT + kappa mu0 mu0T - kappa_n mu_n mu_nT
+        psi_n = (
+            psi
+            + stats["sum_xxT"]
+            + kappa * _outer(mu0, mu0)
+            - kappa_n[..., None, None] * _outer(mu_n, mu_n)
+        )
+        return {"mu0": mu_n, "kappa": kappa_n, "psi": psi_n, "nu": nu_n}
+
+    def marginal_loglik(self, hyper, stats):
+        d = hyper["mu0"].shape[-1]
+        post = self.posterior_hyper(hyper, stats)
+        n = stats["n"]
+        # symmetrize + jitter against f32 downdate drift before Cholesky
+        logdet_psi = jnp.linalg.slogdet(hyper["psi"])[1]
+        logdet_psi_n = jnp.linalg.slogdet(post["psi"])[1]
+        return (
+            -0.5 * n * d * jnp.log(jnp.pi)
+            + multigammaln(post["nu"] / 2.0, d)
+            - multigammaln(hyper["nu"] / 2.0, d)
+            + 0.5 * hyper["nu"] * logdet_psi
+            - 0.5 * post["nu"] * logdet_psi_n
+            + 0.5 * d * (jnp.log(hyper["kappa"]) - jnp.log(post["kappa"]))
+        )
+
+    def pred_logpdf(self, hyper, stats, x):
+        """Student-t posterior predictive, batched over stats' cluster axis."""
+        d = hyper["mu0"].shape[-1]
+        post = self.posterior_hyper(hyper, stats)
+        mu_n, kappa_n, psi_n, nu_n = (
+            post["mu0"], post["kappa"], post["psi"], post["nu"],
+        )
+        df = nu_n - d + 1.0
+        scale = ((kappa_n + 1.0) / (kappa_n * df))[..., None, None] * psi_n
+        chol = jnp.linalg.cholesky(scale)
+        dev = jnp.broadcast_to(x - mu_n, mu_n.shape)[..., None]
+        y = solve_triangular(chol, dev, lower=True)[..., 0]
+        quad = jnp.sum(y * y, axis=-1)
+        return (
+            gammaln((df + d) / 2.0)
+            - gammaln(df / 2.0)
+            - 0.5 * d * (jnp.log(df) + jnp.log(jnp.pi))
+            - 0.5 * _chol_logdet(chol)
+            - 0.5 * (df + d) * jnp.log1p(quad / df)
+        )
+
+    # -- explicit-parameter path -----------------------------------------
+    def sample_params(self, key, hyper, stats):
+        """theta = (mu, cov sqrt) ~ NIW posterior, batched over clusters.
+
+        Bartlett decomposition: with L = chol(psi_n), A the Bartlett factor
+        of Wishart(nu_n, I), M = L @ A^-T satisfies M M^T ~ IW(nu_n, psi_n).
+        """
+        d = hyper["mu0"].shape[-1]
+        post = self.posterior_hyper(hyper, stats)
+        mu_n, kappa_n, psi_n, nu_n = (
+            post["mu0"], post["kappa"], post["psi"], post["nu"],
+        )
+        batch = psi_n.shape[:-2]
+        kn, kc, km = jax.random.split(key, 3)
+        # Bartlett factor A: lower-tri, diag_i = sqrt(chi2(nu_n - i)), offdiag N(0,1)
+        normals = jax.random.normal(kn, (*batch, d, d), psi_n.dtype)
+        i = jnp.arange(d, dtype=psi_n.dtype)
+        chi_df = jnp.maximum(nu_n[..., None] - i, 1e-3)  # [*, d]
+        chi = 2.0 * jax.random.gamma(kc, chi_df / 2.0, dtype=psi_n.dtype)
+        A = jnp.tril(normals, -1) + jnp.sqrt(chi)[..., :, None] * jnp.eye(d, dtype=psi_n.dtype)
+        L = jnp.linalg.cholesky(psi_n)
+        # M = L @ A^{-T}  (solve A M^T = L^T for M^T; A lower)
+        Mt = solve_triangular(A, jnp.swapaxes(L, -1, -2), lower=True)
+        M = jnp.swapaxes(Mt, -1, -2)  # M M^T = Sigma ~ IW(nu_n, psi_n)
+        z = jax.random.normal(km, (*batch, d), psi_n.dtype)
+        mu = mu_n + jnp.einsum("...ij,...j->...i", M, z) / jnp.sqrt(kappa_n)[..., None]
+        # canonical lower-tri Cholesky of Sigma for fast logpdf
+        sigma = jnp.einsum("...ij,...kj->...ik", M, M)
+        return {"mu": mu, "cov_chol": jnp.linalg.cholesky(sigma)}
+
+    def logpdf(self, theta, x):
+        d = x.shape[-1]
+        chol = theta["cov_chol"]
+        dev = jnp.broadcast_to(x - theta["mu"], theta["mu"].shape)[..., None]
+        y = solve_triangular(chol, dev, lower=True)[..., 0]
+        return (
+            -0.5 * jnp.sum(y * y, axis=-1)
+            - 0.5 * _chol_logdet(chol)
+            - 0.5 * d * jnp.log(2.0 * jnp.pi)
+        )
+
+    def logpdf_batch(self, theta, X, mask):
+        """[N, K] Gaussian log-likelihood table via per-cluster matmuls (MXU).
+
+        For each cluster k:  y = (X - mu_k) @ L_k^{-T},  quad = rowsum(y^2).
+        Implemented as a scan over K so peak memory stays [N, D].
+        """
+        d = X.shape[-1]
+        const = -0.5 * d * jnp.log(2.0 * jnp.pi)
+
+        def per_cluster(carry, th):
+            chol, mu = th["cov_chol"], th["mu"]
+            # B = L^{-T}: solve L B = I then transpose -> X @ B as one matmul
+            binv = solve_triangular(chol, jnp.eye(d, dtype=X.dtype), lower=True)
+            y = (X - mu) @ binv.T
+            quad = jnp.sum(y * y, axis=-1)
+            logdet = _chol_logdet(chol)
+            return carry, const - 0.5 * logdet - 0.5 * quad
+
+        _, cols = jax.lax.scan(per_cluster, None, theta)  # [K, N]
+        return cols.T * mask[:, None]
+
+    def sample_value(self, key, theta):
+        mu = theta["mu"]
+        z = jax.random.normal(key, mu.shape, mu.dtype)
+        return mu + jnp.einsum("...ij,...j->...i", theta["cov_chol"], z)
+
+    def prior_logpdf(self, hyper, theta):
+        """log NIW(mu, Sigma | hyper) with Sigma = chol @ chol.T."""
+        d = hyper["mu0"].shape[-1]
+        chol = theta["cov_chol"]
+        nu, kappa, psi, mu0 = hyper["nu"], hyper["kappa"], hyper["psi"], hyper["mu0"]
+        logdet_sigma = _chol_logdet(chol)
+        logdet_psi = jnp.linalg.slogdet(psi)[1]
+        # inverse-Wishart density
+        psi_b = jnp.broadcast_to(psi, chol.shape)
+        sol = solve_triangular(chol, psi_b, lower=True)
+        sol = solve_triangular(
+            jnp.swapaxes(chol, -1, -2), sol, lower=False
+        )  # Sigma^{-1} psi
+        trace = jnp.trace(sol, axis1=-2, axis2=-1)
+        iw = (
+            0.5 * nu * logdet_psi
+            - 0.5 * nu * d * jnp.log(2.0)
+            - multigammaln(nu / 2.0, d)
+            - 0.5 * (nu + d + 1.0) * logdet_sigma
+            - 0.5 * trace
+        )
+        # normal on mu: N(mu0, Sigma/kappa)
+        dev = (theta["mu"] - mu0)[..., None]
+        y = solve_triangular(chol, dev, lower=True)[..., 0]
+        norm = (
+            -0.5 * kappa * jnp.sum(y * y, axis=-1)
+            - 0.5 * logdet_sigma
+            + 0.5 * d * (jnp.log(kappa) - jnp.log(2.0 * jnp.pi))
+        )
+        return iw + norm
+
+
+niw = base.register(NIW())

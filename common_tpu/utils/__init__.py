@@ -1,0 +1,6 @@
+from common_tpu.utils.util import (  # noqa: F401
+    almost_eq,
+    logsumexp,
+    random_assignment_vector,
+    random_orthonormal_matrix,
+)
