@@ -1,0 +1,141 @@
+"""Blocked (uncollapsed) Gibbs — the TPU-parallel sweep kernel.
+
+No reference analog: the reference's only assignment kernel is the
+sequential collapsed Gibbs loop (kernels:gibbs.pyx).  This kernel is the
+TPU-native performance path promised in SURVEY.md §7: a truncated
+stick-breaking DP mixture (Ishwaran & James blocked Gibbs; cf. the
+parallel-DP literature in PAPERS.md) in which *every row is resampled in
+parallel*:
+
+  1. θ_k ~ p(θ | stats_k)      posterior draws for all K slots at once
+                               (empty slots draw from the prior — exactly
+                               what truncation requires);
+  2. stick weights             v_k ~ Beta(1 + n_k, α + Σ_{j>k} n_j),
+                               log w = log v + cumΣ log(1−v)  (CRP analog);
+                               fixed-K: w ~ Dirichlet(α + n);
+  3. score                     [N, K] log-lik table via `logpdf_batch`
+                               (matmul-formulated per likelihood → MXU);
+  4. assign                    per-row Gumbel-argmax categorical draws;
+  5. restat                    counts + suffstats rebuilt by segment-sums /
+                               per-cluster matmuls (`stats_from_assignments`).
+
+Steps 3–5 are O(N·K·F) *parallel* work with zero sequential dependence —
+this is what scales to 1M rows and shards over a device mesh
+(parallel/sharded.py).  Validated against the exact-enumeration oracle
+(truncation error is negligible for K_max ≫ E[K⁺]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from common_tpu import state as state_mod
+from common_tpu.state import MixtureState
+
+
+def stick_break_log_weights(key, counts, alpha):
+    """log mixture weights from a truncated stick-breaking posterior draw.
+
+    v_k ~ Beta(1 + n_k, α + Σ_{j>k} n_j); the last stick takes the rest
+    (ensures Σ w = 1 under truncation).
+    """
+    counts = counts.astype(jnp.float32)
+    k = counts.shape[-1]
+    total_after = jnp.cumsum(counts[::-1])[::-1] - counts  # Σ_{j>k} n_j
+    v = jax.random.beta(key, 1.0 + counts, alpha + total_after)
+    v = jnp.clip(v, 1e-7, 1.0 - 1e-7)
+    logv = jnp.log(v)
+    log1mv = jnp.log1p(-v)
+    cum = jnp.concatenate([jnp.zeros_like(log1mv[:1]), jnp.cumsum(log1mv[:-1])])
+    logw = logv + cum
+    # final stick absorbs the remainder: w_K = Π (1 - v_j), j < K
+    logw = logw.at[k - 1].set(jnp.sum(log1mv[:-1]))
+    return logw
+
+
+def dirichlet_log_weights(key, counts, alphas):
+    """Fixed-K: log w with w ~ Dirichlet(α + n) (blocked finite mixture)."""
+    w = jax.random.dirichlet(key, alphas + counts.astype(jnp.float32))
+    return jnp.log(jnp.clip(w, 1e-30))
+
+
+def sweep_parts(state: MixtureState, data, key):
+    """The (θ, log w, [N,K] log-lik) pieces of one blocked sweep.
+
+    Factored out so the sharded multi-chip path (parallel/sharded.py) can
+    reuse the exact same math with its own reduction placement.
+    """
+    kth, kv = jax.random.split(key)
+    liks = state.likelihoods()
+
+    thetas = [
+        lik.sample_params(jax.random.fold_in(kth, f), hyper, stats_f)
+        for f, (lik, hyper, stats_f) in enumerate(
+            zip(liks, state.hypers, state.stats)
+        )
+    ]
+    if state.fixed:
+        logw = dirichlet_log_weights(
+            kv, state.counts, state.cluster_hp["alphas"]
+        )
+    else:
+        logw = stick_break_log_weights(
+            kv, state.counts, state.cluster_hp["alpha"].astype(jnp.float32)
+        )
+
+    def loglik_table(data_cols):
+        ll = jnp.zeros((), jnp.float32)
+        for (x, mask), lik, th in zip(data_cols, liks, thetas):
+            ll = ll + lik.logpdf_batch(th, x, jnp.asarray(mask, jnp.float32))
+        return ll
+
+    return thetas, logw, loglik_table
+
+
+@jax.jit
+def sweep(state: MixtureState, data, key) -> MixtureState:
+    """One full blocked-Gibbs sweep: all rows reassigned in parallel."""
+    thetas, logw, loglik_table = sweep_parts(state, data, key)
+    logp = logw[None, :] + loglik_table(data)  # [N, K]
+
+    kz = jax.random.fold_in(key, 2)
+    g = jax.random.gumbel(kz, logp.shape, logp.dtype)
+    z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+
+    return restat(state, data, z, thetas)
+
+
+def restat(state: MixtureState, data, z, thetas=None) -> MixtureState:
+    """Rebuild counts + suffstats from a full assignment vector.
+
+    thetas: optional per-feature explicit parameter draws to persist into
+    latent stat leaves (bbnc's p) so subsequent collapsed-style scoring
+    sees the current latents.
+    """
+    K = state.k_max
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(z), z, num_segments=K
+    ).astype(jnp.int32)
+    new_stats = []
+    for f, ((x, mask), lik, hyper, stats_f) in enumerate(
+        zip(data, state.likelihoods(), state.hypers, state.stats)
+    ):
+        s = lik.stats_from_assignments(hyper, x, mask, z, K)
+        if thetas is not None and lik.latent_leaves:
+            s = {
+                k: (thetas[f][k] if k in lik.latent_leaves else s[k])
+                for k in s
+            }
+        new_stats.append(s)
+    return dataclasses.replace(
+        state, assignments=z, counts=counts, stats=tuple(new_stats)
+    )
+
+
+def assign(state: MixtureState, data, key) -> MixtureState:
+    """Runner-kernel alias ('assign_blocked')."""
+    return sweep(state, data, key)

@@ -145,6 +145,28 @@ class Likelihood:
         """log p(theta | hyper) — needed by non-conjugate kernels (slice/HMC)."""
         raise NotImplementedError
 
+    def stats_from_assignments(self, hyper, X, mask, gid, K: int):
+        """Per-cluster suffstats from scratch: segment-sum of tx over rows.
+
+        gid: [N] int32 cluster ids in [0, K) (or K for unassigned/dropped).
+        Generic path vmaps `tx` then segment-sums each leaf; override when
+        the per-row suffstat is large (NIW's outer products) with a
+        matmul formulation that never materializes [N, …] intermediates.
+        """
+        import jax as _jax
+
+        txs = _jax.vmap(lambda xi, mi: self.tx(hyper, xi, mi))(X, mask)
+
+        def seg(t):
+            return _jax.ops.segment_sum(t, gid, num_segments=K + 1)[:K]
+
+        summed = _jax.tree_util.tree_map(seg, txs)
+        zeros = self.init_stats(hyper, (K,))
+        return {
+            k: (zeros[k] if k in self.latent_leaves else summed[k])
+            for k in zeros
+        }
+
     def refresh_latents(self, key, hyper, stats, refresh_mask):
         """Redraw any explicit latents inside `stats` where refresh_mask set.
 

@@ -32,6 +32,7 @@ class BBNC(base.Likelihood):
     name = "bbnc"
     conjugate = False
     latent_leaves = ("p",)
+    latent_bounds = {"p": (_EPS, 1.0 - _EPS)}
 
     def default_hyper(self):
         return {"alpha": jnp.asarray(1.0), "beta": jnp.asarray(1.0)}

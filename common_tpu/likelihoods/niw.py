@@ -63,6 +63,26 @@ class NIW(base.Likelihood):
         m = jnp.asarray(mask, x.dtype)
         return {"n": m, "sum_x": m * x, "sum_xxT": m * _outer(x, x)}
 
+    def stats_from_assignments(self, hyper, X, mask, gid, K):
+        """Scatter-matrix suffstats via per-cluster matmuls (MXU path).
+
+        Never materializes [N, D, D]: sum_xxT[k] = Xᵀ diag(w_k) X with
+        w_k the masked one-hot column of cluster k, computed as a scan of
+        [D, N] @ [N, D] matmuls.
+        """
+        dt = hyper["mu0"].dtype
+        X = jnp.asarray(X, dt)
+        w = jnp.asarray(mask, dt) * (gid < K)
+        onehot = (gid[:, None] == jnp.arange(K)[None, :]).astype(dt) * w[:, None]
+        n = jnp.sum(onehot, axis=0)
+        sum_x = onehot.T @ X
+
+        def per_cluster(_, wk):
+            return None, (X * wk[:, None]).T @ X
+
+        _, sum_xxT = jax.lax.scan(per_cluster, None, onehot.T)
+        return {"n": n, "sum_x": sum_x, "sum_xxT": sum_xxT}
+
     # -- posterior NIW parameters from suffstats (broadcasts over batch) --
     def posterior_hyper(self, hyper, stats):
         mu0, kappa, psi, nu = (

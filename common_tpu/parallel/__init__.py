@@ -1,0 +1,15 @@
+"""Multi-chip parallelism: mesh construction + shard_map'd sweep kernels."""
+
+from common_tpu.parallel.mesh import (  # noqa: F401
+    CHAINS,
+    DATA,
+    data_pspec,
+    make_mesh,
+    shard_state,
+    state_pspec,
+)
+from common_tpu.parallel.sharded import (  # noqa: F401
+    gather_chain,
+    initialize_chains,
+    make_sharded_sweep,
+)

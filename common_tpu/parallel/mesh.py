@@ -1,0 +1,85 @@
+"""Device mesh construction for chain/data sharding.
+
+The reference has no distributed backend (SURVEY.md §2.3) — its only
+parallelism is multiprocessing multi-chain.  The TPU-native equivalent is
+a `jax.sharding.Mesh` with named axes
+
+  chains — independent MCMC chains (embarrassingly parallel; DP analog)
+  data   — row sharding for likelihood + suffstat work (SP/FSDP analog)
+
+with all cross-device communication expressed as XLA collectives (`psum`
+of suffstats over `data`, diagnostics reductions over `chains`) riding ICI.
+Multi-host: call `jax.distributed.initialize()` before building the mesh
+(jax handles DCN transparently).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from common_tpu import validator
+
+CHAINS, DATA = "chains", "data"
+
+
+def make_mesh(
+    chains: int = 1,
+    data: int = 1,
+    devices: Optional[Sequence] = None,
+    platform: Optional[str] = None,
+) -> Mesh:
+    """Mesh with (chains, data) axes over the first chains*data devices."""
+    validator.validate_positive(chains, "chains")
+    validator.validate_positive(data, "data")
+    if devices is None:
+        devices = jax.devices(platform) if platform else jax.devices()
+    need = chains * data
+    if len(devices) < need:
+        raise ValueError(
+            f"need {need} devices for a {chains}x{data} mesh, have {len(devices)}"
+        )
+    arr = np.array(devices[:need]).reshape(chains, data)
+    return Mesh(arr, (CHAINS, DATA))
+
+
+def state_pspec(state) -> object:
+    """PartitionSpec pytree for a chain-batched MixtureState.
+
+    assignments [C, N] shard over (chains, data); every other leaf
+    (counts, stats, hypers, cluster_hp) is chain-sharded, data-replicated
+    — each data shard holds the full global suffstats (they are small:
+    O(K · suffstat dim), kept consistent by `psum` over `data`).
+    """
+    import dataclasses
+
+    def rep(tree):
+        return jax.tree_util.tree_map(lambda _: P(CHAINS), tree)
+
+    return dataclasses.replace(
+        state,
+        assignments=P(CHAINS, DATA),
+        counts=P(CHAINS),
+        cluster_hp=rep(state.cluster_hp),
+        stats=rep(state.stats),
+        hypers=rep(state.hypers),
+    )
+
+
+def data_pspec(data) -> tuple:
+    """Columns shard their row axis over `data`; replicated over chains."""
+    return tuple((P(DATA), P(DATA)) for _ in data)
+
+
+def shard_state(mesh: Mesh, state, data):
+    """Place a chain-batched state + data columns onto the mesh."""
+    sspec = state_pspec(state)
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    state = jax.tree_util.tree_map(put, state, sspec)
+    data = tuple(
+        (put(v, P(DATA)), put(m, P(DATA))) for (v, m) in data
+    )
+    return state, data

@@ -38,6 +38,12 @@ def _k_assign_fixed(state, data, key, **kw):
     return gibbs.assign_resample(state, data, key, m=1)
 
 
+def _k_assign_blocked(state, data, key, **kw):
+    from common_tpu.kernels import blocked
+
+    return blocked.sweep(state, data, key)
+
+
 def _k_grid_feature_hp(state, data, key, **kw):
     return gibbs.hp(state, kw["specs"], key)
 
@@ -66,6 +72,7 @@ KERNELS: Dict[str, Callable] = {
     "assign": _k_assign,
     "assign_resample": _k_assign_resample,
     "assign_fixed": _k_assign_fixed,
+    "assign_blocked": _k_assign_blocked,
     "grid_feature_hp": _k_grid_feature_hp,
     "grid_cluster_hp": _k_grid_cluster_hp,
     "theta": _k_theta,

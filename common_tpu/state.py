@@ -139,22 +139,9 @@ def compute_stats(defn: MixtureDefinition, hypers, data, assignments):
 
     stats = []
     for (x, mask), desc, hyper in zip(data, defn.models, hypers):
-        lik = desc.likelihood
-        txs = jax.vmap(lambda xi, mi: lik.tx(hyper, xi, mi))(x, mask)
-
-        def seg(t):
-            full = jax.ops.segment_sum(t, gid, num_segments=K + 1)
-            return full[:K]
-
-        summed = jax.tree_util.tree_map(seg, txs)
-        zeros = lik.init_stats(hyper, (K,))
-        # non-additive latent leaves (e.g. bbnc's explicit p) keep their
-        # init sentinel — a segment-sum of zero contributions is not a latent
-        merged = {
-            k: (zeros[k] if k in lik.latent_leaves else summed[k])
-            for k in zeros
-        }
-        stats.append(merged)
+        stats.append(
+            desc.likelihood.stats_from_assignments(hyper, x, mask, gid, K)
+        )
     return tuple(stats)
 
 

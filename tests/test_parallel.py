@@ -1,0 +1,132 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §7 CI recipe — no pod required)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from common_tpu import models, parallel, testutil
+from common_tpu import state as st
+from common_tpu.kernels import blocked
+
+from test_gibbs_exact import exact_partition_posterior
+
+
+def _problem(n, d=2, k_max=8, seed=0):
+    r = np.random.default_rng(seed)
+    defn = st.model_definition(n, [models.niw(d)], k_max=k_max)
+    data = ((jnp.asarray(r.normal(size=(n, d)), jnp.float32), jnp.ones(n)),)
+    return defn, data
+
+
+def test_sharded_sweep_counts_and_stats_consistent(cpu_devices):
+    n, chains, dshards = 32, 2, 4
+    defn, data = _problem(n, k_max=8)
+    mesh = parallel.make_mesh(chains, dshards, devices=cpu_devices)
+    keys = jax.random.split(jax.random.key(0), 4)  # 2 chains per shard
+    state = parallel.initialize_chains(defn, data, keys, cluster_hp={"alpha": 1.0})
+    state, sdata = parallel.shard_state(mesh, state, data)
+    sweep = parallel.make_sharded_sweep(mesh, state, sdata)
+    out = sweep(state, sdata, jax.random.key(1))
+
+    counts = np.asarray(out.counts)
+    assert counts.shape == (4, 8)
+    np.testing.assert_array_equal(counts.sum(axis=-1), n)
+
+    # global stats == from-scratch stats of the gathered assignment vector
+    z = np.asarray(out.assignments)  # [C, N]
+    for c in range(4):
+        scratch = st.compute_stats(
+            defn,
+            jax.tree_util.tree_map(lambda l: l[c], out.hypers),
+            data,
+            jnp.asarray(z[c]),
+        )
+        for k in scratch[0]:
+            np.testing.assert_allclose(
+                np.asarray(out.stats[0][k][c]),
+                np.asarray(scratch[0][k]),
+                rtol=1e-4, atol=1e-4,
+            )
+        np.testing.assert_array_equal(
+            counts[c], np.bincount(z[c], minlength=8)
+        )
+
+
+def test_sharded_sweep_deterministic(cpu_devices):
+    n = 16
+    defn, data = _problem(n, k_max=4)
+    mesh = parallel.make_mesh(2, 4, devices=cpu_devices)
+    keys = jax.random.split(jax.random.key(3), 2)
+    state = parallel.initialize_chains(defn, data, keys, cluster_hp={"alpha": 1.0})
+    state, sdata = parallel.shard_state(mesh, state, data)
+    sweep = parallel.make_sharded_sweep(mesh, state, sdata)
+    o1 = sweep(state, sdata, jax.random.key(9))
+    o2 = sweep(state, sdata, jax.random.key(9))
+    np.testing.assert_array_equal(
+        np.asarray(o1.assignments), np.asarray(o2.assignments)
+    )
+
+
+def test_chains_are_independent(cpu_devices):
+    """Different chains (same data) must produce different trajectories."""
+    n = 32
+    defn, data = _problem(n, k_max=8, seed=1)
+    mesh = parallel.make_mesh(2, 4, devices=cpu_devices)
+    keys = jax.random.split(jax.random.key(0), 4)
+    state = parallel.initialize_chains(defn, data, keys, cluster_hp={"alpha": 1.0})
+    state, sdata = parallel.shard_state(mesh, state, data)
+    sweep = parallel.make_sharded_sweep(mesh, state, sdata)
+    out = sweep(state, sdata, jax.random.key(5))
+    z = np.asarray(out.assignments)
+    assert not np.array_equal(z[0], z[1]) or not np.array_equal(z[1], z[2])
+
+
+@pytest.mark.slow
+def test_sharded_blocked_matches_enumeration(cpu_devices):
+    """Statistical correctness end-to-end across the mesh: the row-sharded,
+    psum-reduced sampler targets the same partition posterior."""
+    n = 4
+    r = np.random.default_rng(4)
+    defn16 = st.model_definition(n, [models.bb], k_max=16)
+    data = ((jnp.asarray(r.integers(0, 2, size=n)), jnp.ones(n)),)
+    chp = {"alpha": 1.0}
+    exact = exact_partition_posterior(
+        st.model_definition(n, [models.bb], k_max=5), data, chp
+    )
+
+    chains, dshards = 2, 4
+    mesh = parallel.make_mesh(chains, dshards, devices=cpu_devices)
+    keys = jax.random.split(jax.random.key(11), 4)
+    state = parallel.initialize_chains(defn16, data, keys, cluster_hp=chp)
+    state, sdata = parallel.shard_state(mesh, state, data)
+    sweep = parallel.make_sharded_sweep(mesh, state, sdata)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("nsweeps",))
+    def run(state, key, nsweeps):
+        def body(s, t):
+            s = sweep(s, sdata, jax.random.fold_in(key, t))
+            return s, s.assignments
+
+        return jax.lax.scan(body, state, jnp.arange(nsweeps))
+
+    cache = {}
+
+    def sample_fn(nsweeps):
+        per_chain = nsweeps // 4 + 300
+        if nsweeps not in cache:
+            _, zs = run(state, jax.random.key(13), per_chain)
+            zs = np.asarray(zs)[300:]  # [T, C, N]
+            cache[nsweeps] = [
+                testutil.permutation_canonical(zs[t, c])
+                for t in range(zs.shape[0])
+                for c in range(zs.shape[1])
+            ]
+        return cache[nsweeps]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=6000, ntries=3, kl_tol=0.03
+    )
