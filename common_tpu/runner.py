@@ -68,6 +68,24 @@ def _k_slice_hp(state, data, key, **kw):
     return slice_mod.hp(state, data, key, **kw)
 
 
+def _k_nuts_hp(state, data, key, **kw):
+    from common_tpu.kernels import hmc
+
+    return hmc.hp(state, data, key, **kw)
+
+
+def _k_nuts_cluster_hp(state, data, key, **kw):
+    from common_tpu.kernels import hmc
+
+    return hmc.cluster_hp(state, key, kw.pop("prior"), **kw)
+
+
+def _k_nuts_theta(state, data, key, **kw):
+    from common_tpu.kernels import hmc
+
+    return hmc.theta(state, key, **kw)
+
+
 KERNELS: Dict[str, Callable] = {
     "assign": _k_assign,
     "assign_resample": _k_assign_resample,
@@ -78,6 +96,9 @@ KERNELS: Dict[str, Callable] = {
     "theta": _k_theta,
     "slice_theta": _k_slice_theta,
     "slice_hp": _k_slice_hp,
+    "nuts_hp": _k_nuts_hp,
+    "nuts_cluster_hp": _k_nuts_cluster_hp,
+    "nuts_theta": _k_nuts_theta,
 }
 
 
