@@ -1,0 +1,323 @@
+"""Sequential Monte Carlo for DP mixtures (sequential imputation).
+
+No reference analog: the reference has no SMC anywhere; this is the
+north-star config-5 kernel (BASELINE.json: "1M-row DPMM with SMC,
+particles sharded across N≥2 hosts, collective resampling").
+
+Algorithm (sequential imputation with the optimal one-step proposal —
+the classic SIS scheme for CRP mixtures, cf. MacEachern–Clyde–Liu 1999):
+particles are partial clustering states; rows are absorbed one at a time;
+each particle seats row n from its exact conditional
+softmax(CRP prior + predictive), and its weight gains the row's
+*predictive* log p(x_n | x_{<n}, particle) = logsumexp(scores) − log(α+n).
+Adaptive systematic resampling fires when ESS < threshold·P, optionally
+followed by collapsed-Gibbs rejuvenation moves on a random subset of
+already-seated rows.  The running sum of pre-reset mean weights is an
+unbiased (in Z) marginal-likelihood estimator — validated against the
+exact-enumeration evidence in tests.
+
+TPU-native design: particles are a vmapped state pytree (leading axis P);
+one `lax.scan` over rows drives all P particles in lock-step, so the inner
+work is a [P, K, F] vectorized scoring block per row.  Resampling is a
+shared-key systematic draw + gather.  Multi-device: particles shard over a
+`Mesh('particles')` axis via `shard_map`; resampling all_gathers the [P]
+log-weights (tiny), computes identical global indices everywhere, and
+exchanges particle state with an all_gather + local slice — the simple
+collective-resampling layout (a ppermute pipelined exchange is the
+memory-lean refinement; at DPMM state sizes the gather is bandwidth-cheap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from common_tpu import state as state_mod
+from common_tpu import validator
+from common_tpu.kernels import gibbs
+from common_tpu.state import MixtureState
+
+PARTICLES = "particles"
+
+
+# ---------------------------------------------------------------------------
+# weights / resampling
+# ---------------------------------------------------------------------------
+def log_ess(log_w):
+    """log effective sample size of unnormalized log-weights."""
+    return 2.0 * logsumexp(log_w) - logsumexp(2.0 * log_w)
+
+
+def systematic_resample(key, log_w):
+    """Systematic resampling: [P] parent indices from one uniform draw."""
+    p = log_w.shape[-1]
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    u = (jax.random.uniform(key) + jnp.arange(p)) / p
+    return jnp.clip(jnp.searchsorted(cdf, u), 0, p - 1).astype(jnp.int32)
+
+
+def _gather_particles(particles: MixtureState, idx):
+    return jax.tree_util.tree_map(lambda l: l[idx], particles)
+
+
+# ---------------------------------------------------------------------------
+# particle initialization
+# ---------------------------------------------------------------------------
+def init_particles(
+    defn,
+    data,
+    key,
+    n_particles: int,
+    cluster_hp: Optional[Dict[str, Any]] = None,
+    feature_hps: Optional[Sequence[Dict[str, Any]]] = None,
+    fixed: bool = False,
+) -> MixtureState:
+    """P empty particles (no rows seated): broadcast one empty state."""
+    validator.validate_positive(n_particles, "n_particles")
+    empty = state_mod.initialize(
+        defn, data, key,
+        cluster_hp=cluster_hp, feature_hps=feature_hps,
+        assignment=-np.ones(defn.n, np.int32), fixed=fixed,
+    )
+    return jax.tree_util.tree_map(
+        lambda l: jnp.broadcast_to(l, (n_particles, *l.shape)), empty
+    )
+
+
+# ---------------------------------------------------------------------------
+# core row step
+# ---------------------------------------------------------------------------
+def _seat_row(p_state: MixtureState, data, eid, t, key):
+    """Seat row eid in one particle; return (state, predictive logp)."""
+    logp = state_mod.score_value(p_state, data, eid)  # [K]
+    g = jax.random.gumbel(key, logp.shape, logp.dtype)
+    gid = jnp.argmax(logp + g)
+    new_state = state_mod.add_value(p_state, data, eid, gid)
+    if p_state.fixed:
+        norm = jnp.sum(p_state.cluster_hp["alphas"]) + t
+    else:
+        norm = p_state.cluster_hp["alpha"].astype(jnp.float32) + t
+    incr = logsumexp(logp) - jnp.log(norm)
+    return new_state, incr
+
+
+def _rejuvenate(particles: MixtureState, data, key, eid, n_moves):
+    """n_moves collapsed-Gibbs updates of random already-seated rows."""
+
+    def per_particle(p_state, k):
+        def body(st, i):
+            ki = jax.random.fold_in(k, i)
+            row = jax.random.randint(ki, (), 0, jnp.maximum(eid + 1, 1))
+            st, _ = gibbs._row_sweep_step(data, 1, ki, st, row)
+            return st, None
+
+        p_state, _ = jax.lax.scan(body, p_state, jnp.arange(n_moves))
+        return p_state
+
+    n_p = particles.counts.shape[0]
+    return jax.vmap(per_particle)(particles, jax.random.split(key, n_p))
+
+
+# ---------------------------------------------------------------------------
+# single-device run
+# ---------------------------------------------------------------------------
+class SMCResult(NamedTuple):
+    particles: MixtureState   # leading axis P
+    log_w: jax.Array          # [P] final unnormalized log-weights
+    logz: jax.Array           # marginal-likelihood estimate log p(data)
+    n_resamples: jax.Array
+    ess_trace: jax.Array      # [N] ESS after each row
+
+
+@partial(jax.jit, static_argnames=("ess_threshold", "rejuvenation_moves"))
+def run(
+    particles: MixtureState,
+    data,
+    key,
+    ess_threshold: float = 0.5,
+    rejuvenation_moves: int = 0,
+) -> SMCResult:
+    """Run SMC over all rows. `particles` from `init_particles` ([P] axis)."""
+    n_p = particles.counts.shape[0]
+    n = particles.assignments.shape[-1]
+    log_p = jnp.log(float(n_p))
+
+    def row_step(carry, eid):
+        particles, log_w, logz, n_res = carry
+        k_row = jax.random.fold_in(key, eid)
+        keys = jax.random.split(jax.random.fold_in(k_row, 0), n_p)
+        t = eid.astype(jnp.float32)
+        particles, incr = jax.vmap(
+            lambda p, k: _seat_row(p, data, eid, t, k)
+        )(particles, keys)
+        log_w = log_w + incr
+
+        ess = jnp.exp(log_ess(log_w))
+        do_res = ess < ess_threshold * n_p
+
+        def resample(args):
+            particles, log_w, logz, n_res = args
+            idx = systematic_resample(jax.random.fold_in(k_row, 1), log_w)
+            particles = _gather_particles(particles, idx)
+            logz = logz + logsumexp(log_w) - log_p
+            log_w = jnp.zeros_like(log_w)
+            if rejuvenation_moves > 0:
+                particles = _rejuvenate(
+                    particles, data, jax.random.fold_in(k_row, 2),
+                    eid, rejuvenation_moves,
+                )
+            return particles, log_w, logz, n_res + 1
+
+        particles, log_w, logz, n_res = jax.lax.cond(
+            do_res, resample, lambda a: a, (particles, log_w, logz, n_res)
+        )
+        return (particles, log_w, logz, n_res), ess
+
+    init = (
+        particles,
+        jnp.zeros(n_p),
+        jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
+    )
+    (particles, log_w, logz, n_res), ess_trace = jax.lax.scan(
+        row_step, init, jnp.arange(n)
+    )
+    logz = logz + logsumexp(log_w) - log_p
+    return SMCResult(particles, log_w, logz, n_res, ess_trace)
+
+
+def posterior_sample(key, result: SMCResult) -> MixtureState:
+    """Draw one particle ~ final weights (a posterior partition sample)."""
+    i = jax.random.categorical(key, result.log_w)
+    return jax.tree_util.tree_map(lambda l: l[i], result.particles)
+
+
+def posterior_partition_weights(result: SMCResult):
+    """(assignments [P, N], normalized weights [P]) for posterior summaries."""
+    w = jax.nn.softmax(result.log_w)
+    return result.particles.assignments, w
+
+
+# ---------------------------------------------------------------------------
+# multi-device: particles sharded over a mesh axis, collective resampling
+# ---------------------------------------------------------------------------
+def make_particle_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (PARTICLES,))
+
+
+def shard_particles(mesh: Mesh, particles: MixtureState, data):
+    """Place particles sharded on the particle axis; data replicated."""
+    ps = NamedSharding(mesh, P(PARTICLES))
+    rep = NamedSharding(mesh, P())
+    particles = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, ps), particles
+    )
+    data = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), data)
+    return particles, data
+
+
+def run_sharded(
+    mesh: Mesh,
+    particles: MixtureState,
+    data,
+    key,
+    ess_threshold: float = 0.5,
+) -> SMCResult:
+    """SMC with the particle axis sharded over `mesh` (collective resampling).
+
+    Inside `shard_map` each device advances its local particle block; at a
+    resampling event the [P] log-weight vector is all_gathered (bytes),
+    every device computes the same systematic parent indices from the same
+    folded key, and particle state moves via all_gather + local slice.
+    ESS check uses the *global* weights via psum of the softmax moments,
+    so the resample decision is identical on every shard.
+    """
+    n_dev = mesh.devices.size
+    n_p = particles.counts.shape[0]
+    if n_p % n_dev:
+        raise ValueError(f"n_particles {n_p} must divide over {n_dev} devices")
+    p_local = n_p // n_dev
+    n = particles.assignments.shape[-1]
+    log_p = jnp.log(float(n_p))
+
+    def local_run(particles_blk, data_blk, key):
+        shard = jax.lax.axis_index(PARTICLES)
+
+        def row_step(carry, eid):
+            parts, log_w, logz, n_res = carry  # log_w: local [p_local]
+            k_row = jax.random.fold_in(key, eid)
+            k_shard = jax.random.fold_in(k_row, 10 + shard)
+            keys = jax.random.split(k_shard, p_local)
+            t = eid.astype(jnp.float32)
+            parts, incr = jax.vmap(
+                lambda p, k: _seat_row(p, data_blk, eid, t, k)
+            )(parts, keys)
+            log_w = log_w + incr
+
+            log_w_all = jax.lax.all_gather(
+                log_w, PARTICLES, tiled=True
+            )  # [P]
+            ess = jnp.exp(log_ess(log_w_all))
+            do_res = ess < ess_threshold * n_p
+
+            def resample(args):
+                parts, log_w, logz, n_res = args
+                idx = systematic_resample(
+                    jax.random.fold_in(k_row, 1), log_w_all
+                )  # [P] global parent ids, identical on every shard
+                local_idx = jax.lax.dynamic_slice_in_dim(
+                    idx, shard * p_local, p_local
+                )
+                parts_all = jax.tree_util.tree_map(
+                    lambda l: jax.lax.all_gather(l, PARTICLES, tiled=True),
+                    parts,
+                )
+                parts = jax.tree_util.tree_map(
+                    lambda l: l[local_idx], parts_all
+                )
+                logz = logz + logsumexp(log_w_all) - log_p
+                return parts, jnp.zeros_like(log_w), logz, n_res + 1
+
+            parts, log_w, logz, n_res = jax.lax.cond(
+                do_res, resample, lambda a: a, (parts, log_w, logz, n_res)
+            )
+            return (parts, log_w, logz, n_res), ess
+
+        init = (
+            particles_blk,
+            jnp.zeros(p_local),
+            jnp.zeros(()),
+            jnp.zeros((), jnp.int32),
+        )
+        (parts, log_w, logz, n_res), ess_trace = jax.lax.scan(
+            row_step, init, jnp.arange(n)
+        )
+        log_w_all = jax.lax.all_gather(log_w, PARTICLES, tiled=True)
+        logz = logz + logsumexp(log_w_all) - log_p
+        return parts, log_w, logz, n_res, ess_trace
+
+    pspec = jax.tree_util.tree_map(lambda _: P(PARTICLES), particles)
+    dspec = jax.tree_util.tree_map(lambda _: P(), data)
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(pspec, dspec, P()),
+        out_specs=(pspec, P(PARTICLES), P(), P(), P()),
+        check_vma=False,
+    )
+    parts, log_w, logz, n_res, ess_trace = jax.jit(sharded)(
+        particles, data, key
+    )
+    return SMCResult(parts, log_w, logz, n_res, ess_trace)
