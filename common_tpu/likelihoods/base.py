@@ -167,6 +167,51 @@ class Likelihood:
             for k in zeros
         }
 
+    # --- conjugate exponential-family structure (SVI path) --------------
+    # When has_expfam is True the model exposes its conjugate prior as an
+    # exponential family over theta: p(theta|hyper) = exp(eta·T(theta) −
+    # A(eta)) h0(theta), with the likelihood's log p(x|theta) = t(x)·T(theta)
+    # + log h(x) (t(x) aligned component-wise with T).  Everything SVI needs
+    # (E_q[log p(x|theta)], KL(q‖prior), natural-gradient updates) then
+    # follows generically from autodiff of A — see likelihoods/expfam.py.
+    has_expfam: bool = False
+
+    def posterior_hyper(self, hyper, stats):
+        """Conjugate posterior hyper given suffstats (broadcasts over batch)."""
+        raise NotImplementedError
+
+    def nat_params(self, hyper) -> Pytree:
+        """Natural parameters eta of the conjugate prior (dict pytree)."""
+        raise NotImplementedError
+
+    def log_partition(self, nat) -> Any:
+        """A(eta): log-normalizer of the conjugate prior; differentiable."""
+        raise NotImplementedError
+
+    def suffstat_pair(self, hyper, x, mask) -> Pytree:
+        """t(x)·mask, component-aligned with nat_params/T(theta).
+
+        `hyper` supplies family shape info only (e.g. dd's category count);
+        t(x) never depends on hyper *values*.
+        """
+        raise NotImplementedError
+
+    def log_h(self, hyper, x, mask):
+        """log base measure of the likelihood at x (mask-scaled)."""
+        raise NotImplementedError
+
+    def stats_from_weights(self, hyper, X, mask, r) -> Pytree:
+        """Soft-weighted suffstats [K, ...] = Σ_n r[n, k] · tx(x_n).
+
+        The SVI M-step analog of `stats_from_assignments`.  Default: vmap
+        `tx` then one einsum per leaf; override when the per-row suffstat
+        is large (NIW's outer products) with a matmul formulation.
+        """
+        txs = jax.vmap(lambda xi, mi: self.tx(hyper, xi, mi))(X, mask)
+        return jax.tree_util.tree_map(
+            lambda t: jnp.einsum("nk,n...->k...", r, t), txs
+        )
+
     def refresh_latents(self, key, hyper, stats, refresh_mask):
         """Redraw any explicit latents inside `stats` where refresh_mask set.
 

@@ -19,6 +19,28 @@ from common_tpu.likelihoods import base
 class BB(base.Likelihood):
     name = "bb"
     conjugate = True
+    has_expfam = True
+
+    # conjugate exponential family: T(p) = (log p, log(1-p))
+    def posterior_hyper(self, hyper, stats):
+        return {
+            "alpha": hyper["alpha"] + stats["heads"],
+            "beta": hyper["beta"] + stats["n"] - stats["heads"],
+        }
+
+    def nat_params(self, hyper):
+        return {"a": hyper["alpha"] - 1.0, "b": hyper["beta"] - 1.0}
+
+    def log_partition(self, nat):
+        return betaln(nat["a"] + 1.0, nat["b"] + 1.0)
+
+    def suffstat_pair(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        xf = jnp.asarray(x, jnp.float32)
+        return {"a": m * xf, "b": m * (1.0 - xf)}
+
+    def log_h(self, hyper, x, mask):
+        return jnp.zeros_like(jnp.asarray(x, jnp.float32))
 
     def default_hyper(self):
         return {"alpha": jnp.asarray(1.0), "beta": jnp.asarray(1.0)}

@@ -20,6 +20,27 @@ from common_tpu.likelihoods import base
 class DD(base.Likelihood):
     name = "dd"
     conjugate = True
+    has_expfam = True
+
+    # conjugate exponential family: T(pi) = log pi
+    def posterior_hyper(self, hyper, stats):
+        return {"alphas": hyper["alphas"] + stats["counts"]}
+
+    def nat_params(self, hyper):
+        return {"e": hyper["alphas"] - 1.0}
+
+    def log_partition(self, nat):
+        a = nat["e"] + 1.0
+        return jnp.sum(gammaln(a), axis=-1) - gammaln(jnp.sum(a, axis=-1))
+
+    def suffstat_pair(self, hyper, x, mask):
+        c = hyper["alphas"].shape[-1]
+        m = jnp.asarray(mask, jnp.float32)
+        onehot = jax.nn.one_hot(jnp.asarray(x, jnp.int32), c, dtype=jnp.float32)
+        return {"e": m * onehot}
+
+    def log_h(self, hyper, x, mask):
+        return jnp.zeros_like(jnp.asarray(x, jnp.float32))
 
     def default_hyper(self):
         return {"alphas": jnp.ones(2)}

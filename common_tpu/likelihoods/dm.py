@@ -27,6 +27,26 @@ def _log_multinomial_coef(x):
 class DM(base.Likelihood):
     name = "dm"
     conjugate = True
+    has_expfam = True
+
+    # conjugate exponential family: T(pi) = log pi (same family as dd)
+    def posterior_hyper(self, hyper, stats):
+        return {"alphas": hyper["alphas"] + stats["counts"]}
+
+    def nat_params(self, hyper):
+        return {"e": hyper["alphas"] - 1.0}
+
+    def log_partition(self, nat):
+        a = nat["e"] + 1.0
+        return jnp.sum(gammaln(a), axis=-1) - gammaln(jnp.sum(a, axis=-1))
+
+    def suffstat_pair(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        return {"e": m * jnp.asarray(x, jnp.float32)}
+
+    def log_h(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        return m * _log_multinomial_coef(jnp.asarray(x, jnp.float32))
 
     def default_hyper(self):
         return {"alphas": jnp.ones(2)}

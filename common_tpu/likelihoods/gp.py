@@ -20,6 +20,30 @@ from common_tpu.likelihoods import base
 class GP(base.Likelihood):
     name = "gp"
     conjugate = True
+    has_expfam = True
+
+    # conjugate exponential family: T(lam) = (log lam, -lam)
+    def posterior_hyper(self, hyper, stats):
+        return {
+            "alpha": hyper["alpha"] + stats["sum_x"],
+            "inv_beta": hyper["inv_beta"] + stats["n"],
+        }
+
+    def nat_params(self, hyper):
+        return {"e1": hyper["alpha"] - 1.0, "e2": hyper["inv_beta"]}
+
+    def log_partition(self, nat):
+        shape = nat["e1"] + 1.0
+        return gammaln(shape) - shape * jnp.log(nat["e2"])
+
+    def suffstat_pair(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        xf = jnp.asarray(x, jnp.float32)
+        return {"e1": m * xf, "e2": m}
+
+    def log_h(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        return -m * gammaln(jnp.asarray(x, jnp.float32) + 1.0)
 
     def default_hyper(self):
         return {"alpha": jnp.asarray(1.0), "inv_beta": jnp.asarray(1.0)}

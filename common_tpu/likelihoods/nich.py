@@ -31,6 +31,38 @@ def _student_t_logpdf(x, df, loc, scale_sq):
 class NICH(base.Likelihood):
     name = "nich"
     conjugate = True
+    has_expfam = True
+
+    # conjugate exponential family over (mu, sigmasq):
+    # T = (mu/s2, -1/(2 s2), -mu^2/(2 s2), -1/2 log s2),
+    # eta = (kappa mu0, nu sigmasq0 + kappa mu0^2, kappa, nu + 3).
+    def nat_params(self, hyper):
+        mu0, kappa = hyper["mu"], hyper["kappa"]
+        return {
+            "e1": kappa * mu0,
+            "e2": hyper["nu"] * hyper["sigmasq"] + kappa * mu0 * mu0,
+            "e3": kappa,
+            "e4": hyper["nu"] + 3.0,
+        }
+
+    def log_partition(self, nat):
+        kappa = nat["e3"]
+        nu = nat["e4"] - 3.0
+        nu_s0 = nat["e2"] - nat["e1"] * nat["e1"] / kappa
+        return (
+            0.5 * (jnp.log(2.0 * jnp.pi) - jnp.log(kappa))
+            + gammaln(nu / 2.0)
+            + 0.5 * nu * (jnp.log(2.0) - jnp.log(nu_s0))
+        )
+
+    def suffstat_pair(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        xf = jnp.asarray(x, jnp.float32)
+        return {"e1": m * xf, "e2": m * xf * xf, "e3": m, "e4": m}
+
+    def log_h(self, hyper, x, mask):
+        m = jnp.asarray(mask, jnp.float32)
+        return -0.5 * jnp.log(2.0 * jnp.pi) * m
 
     def default_hyper(self):
         return {

@@ -83,6 +83,64 @@ class NIW(base.Likelihood):
         _, sum_xxT = jax.lax.scan(per_cluster, None, onehot.T)
         return {"n": n, "sum_x": sum_x, "sum_xxT": sum_xxT}
 
+    def stats_from_weights(self, hyper, X, mask, r):
+        """Soft-weighted suffstats via per-cluster matmuls (SVI M-step).
+
+        Mirrors stats_from_assignments: never materializes [N, D, D];
+        sum_xxT[k] = Xᵀ diag(r_k·mask) X as a scan of matmuls.
+        """
+        dt = hyper["mu0"].dtype
+        X = jnp.asarray(X, dt)
+        w = r * jnp.asarray(mask, dt)[:, None]  # [N, K]
+        n = jnp.sum(w, axis=0)
+        sum_x = w.T @ X
+
+        def per_cluster(_, wk):
+            return None, (X * wk[:, None]).T @ X
+
+        _, sum_xxT = jax.lax.scan(per_cluster, None, w.T)
+        return {"n": n, "sum_x": sum_x, "sum_xxT": sum_xxT}
+
+    # -- conjugate exponential family over (mu, Sigma) ---------------------
+    # T(theta) = (Lam mu, -1/2 Lam, -1/2 mu' Lam mu, -1/2 log|Sigma|),
+    # eta = (kappa mu0, psi + kappa mu0 mu0', kappa, nu + d + 2).
+    has_expfam = True
+
+    def nat_params(self, hyper):
+        mu0, kappa = hyper["mu0"], hyper["kappa"]
+        return {
+            "e1": kappa * mu0,
+            "e2": hyper["psi"] + kappa * _outer(mu0, mu0),
+            "e3": kappa,
+            "e4": hyper["nu"] + mu0.shape[-1] + 2.0,
+        }
+
+    def log_partition(self, nat):
+        d = nat["e1"].shape[-1]
+        kappa = nat["e3"]
+        nu = nat["e4"] - d - 2.0
+        psi = nat["e2"] - _outer(nat["e1"], nat["e1"]) / kappa
+        return (
+            0.5 * d * (jnp.log(2.0 * jnp.pi) - jnp.log(kappa))
+            + 0.5 * nu * d * jnp.log(2.0)
+            - 0.5 * nu * jnp.linalg.slogdet(psi)[1]
+            + multigammaln(nu / 2.0, d)
+        )
+
+    def suffstat_pair(self, hyper, x, mask):
+        m = jnp.asarray(mask, x.dtype)
+        return {
+            "e1": m * x,
+            "e2": m * _outer(x, x),
+            "e3": m,
+            "e4": m,
+        }
+
+    def log_h(self, hyper, x, mask):
+        d = hyper["mu0"].shape[-1]
+        m = jnp.asarray(mask, jnp.float32)
+        return -0.5 * d * jnp.log(2.0 * jnp.pi) * m
+
     # -- posterior NIW parameters from suffstats (broadcasts over batch) --
     def posterior_hyper(self, hyper, stats):
         mu0, kappa, psi, nu = (
