@@ -1,0 +1,16 @@
+"""HDP-LDA topic modelling — the `lda` sibling-repo capability."""
+
+from common_tpu.topic.hdp import (  # noqa: F401
+    HDPState,
+    TokenData,
+    blocked_sweep,
+    collapsed_sweep,
+    crt_sample,
+    initialize,
+    make_sharded_sweep,
+    perplexity,
+    sample_beta,
+    score_joint,
+    shard_corpus,
+    token_data,
+)

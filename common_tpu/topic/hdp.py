@@ -1,0 +1,392 @@
+"""HDP-LDA topic model — the `lda` sibling-repo capability, TPU-native.
+
+Reference analog: the `lda` sibling repo (`lda:microscopes/lda/model.pyx`,
+`lda:src/lda/state.cpp` [MED]) implements HDP-LDA over `common`'s variadic
+dataview with a collapsed direct-assignment Gibbs sampler (Teh et al. 2006
+"Hierarchical Dirichlet Processes", §5.3 posterior-representation scheme).
+
+Model (truncated to K topics; truncation error vanishes for K ≫ K_active):
+
+  beta        ~ stick-break(gamma)          global topic weights  [K+1]
+                (last entry = unrepresented remainder mass)
+  theta_d     ~ Dirichlet(alpha * beta_1:K) per-doc proportions
+  phi_k       ~ Dirichlet(eta)              topic-word dists      [K, V]
+  z_t | theta ~ Cat(theta_{d_t});  w_t | z ~ Cat(phi_{z_t})
+
+TPU-native design: the corpus is the variadic dataview's flat CSR layout
+(tokens [T], doc_ids [T], mask [T]); all counts are segment-sums over the
+token axis, shardable along tokens.  Two samplers:
+
+  - `collapsed_sweep` — direct-assignment collapsed Gibbs given beta:
+    `lax.scan` over tokens, per-token [K]-vectorized predictive
+    (n_dk^-t + alpha*beta_k)(n_kw^-t + eta)/(n_k^-t + V*eta).
+    The correctness oracle (validated against exact z-enumeration).
+  - `blocked_sweep` — uncollapsed parallel sweep: draw phi | z, theta | z,
+    then reassign EVERY token in parallel (gather log theta + log phi,
+    Gumbel-argmax) and rebuild counts with segment-sums.  This is the
+    1M-doc perf path and what shards over the mesh (sweep_sharded).
+
+Between sweeps `sample_beta` resamples the global weights from table
+counts m_dk drawn by the Chinese-restaurant-table (CRT) construction
+m = Σ_i Bernoulli(a/(a+i)), vectorized over (doc, topic) with a masked
+scan over the max per-doc-topic count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from common_tpu import validator
+
+
+class TokenData(NamedTuple):
+    """Flat corpus (pytree): word id, doc id, validity per token slot."""
+
+    words: jax.Array    # [T] int32
+    doc_ids: jax.Array  # [T] int32 (== D for padding slots)
+    mask: jax.Array     # [T] float 0/1
+
+
+def token_data(view) -> TokenData:
+    """From a variadic_dataview (or anything with tokens/doc_ids/token_mask)."""
+    return TokenData(
+        jnp.asarray(view.tokens, jnp.int32),
+        jnp.asarray(view.doc_ids, jnp.int32),
+        jnp.asarray(view.token_mask, jnp.float32),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HDPState:
+    """Truncated-HDP latent state (counts are derived but carried)."""
+
+    z: jax.Array           # [T] int32 topic per token
+    beta: jax.Array        # [K+1] global weights (last = remainder)
+    doc_topic: jax.Array   # [D, K]
+    topic_word: jax.Array  # [K, V]
+    topic_total: jax.Array  # [K]
+    hypers: Dict[str, jax.Array]  # alpha, gamma, eta
+
+    @property
+    def n_topics(self) -> int:
+        return self.topic_word.shape[0]
+
+    @property
+    def n_docs(self) -> int:
+        return self.doc_topic.shape[0]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.topic_word.shape[1]
+
+    def active_topics(self):
+        return jnp.sum(self.topic_total > 0)
+
+
+def _counts(z, data: TokenData, D, K, V):
+    """All three count tables from (z, corpus) via segment-sums."""
+    valid = data.mask > 0
+    zi = jnp.where(valid, z, K)
+    dk = jax.ops.segment_sum(
+        jax.nn.one_hot(zi, K + 1, dtype=jnp.float32)[:, :K],
+        jnp.minimum(data.doc_ids, D),
+        num_segments=D + 1,
+    )[:D]
+    flat_kw = jnp.where(valid, zi * V + data.words, K * V)
+    kw = jax.ops.segment_sum(
+        jnp.ones_like(data.words, jnp.float32), flat_kw,
+        num_segments=K * V + 1,
+    )[: K * V].reshape(K, V)
+    return dk, kw, jnp.sum(kw, axis=-1)
+
+
+def initialize(
+    view,
+    n_topics: int,
+    vocab_size: int,
+    key,
+    alpha: float = 1.0,
+    gamma: float = 1.0,
+    eta: float = 0.1,
+    n_docs: Optional[int] = None,
+) -> HDPState:
+    """Random z init + one beta draw (lda's state.initialize analog)."""
+    validator.validate_positive(n_topics, "n_topics")
+    validator.validate_positive(vocab_size, "vocab_size")
+    data = token_data(view) if not isinstance(view, TokenData) else view
+    D = int(n_docs) if n_docs is not None else int(view.size())
+    kz, kb = jax.random.split(key)
+    z = jax.random.randint(kz, data.words.shape, 0, n_topics, jnp.int32)
+    dk, kw, kt = _counts(z, data, D, n_topics, vocab_size)
+    state = HDPState(
+        z=z,
+        beta=jnp.full(n_topics + 1, 1.0 / (n_topics + 1)),
+        doc_topic=dk,
+        topic_word=kw,
+        topic_total=kt,
+        hypers={
+            "alpha": jnp.asarray(alpha),
+            "gamma": jnp.asarray(gamma),
+            "eta": jnp.asarray(eta),
+        },
+    )
+    return sample_beta(state, kb)
+
+
+# ---------------------------------------------------------------------------
+# collapsed direct-assignment Gibbs (oracle)
+# ---------------------------------------------------------------------------
+@jax.jit
+def collapsed_sweep(state: HDPState, data: TokenData, key) -> HDPState:
+    """One sequential collapsed sweep over tokens, beta held fixed."""
+    K = state.n_topics
+    V = state.vocab_size
+    alpha = state.hypers["alpha"]
+    eta = state.hypers["eta"]
+    ab = alpha * state.beta[:K]
+
+    def step(carry, t):
+        z, dk, kw, kt = carry
+        d = data.doc_ids[t]
+        w = data.words[t]
+        m = data.mask[t]
+        old = z[t]
+        onehot_old = jax.nn.one_hot(old, K, dtype=jnp.float32) * m
+        dk_t = dk.at[d].add(-onehot_old)
+        kw_t = kw.at[old, w].add(-m)
+        kt_t = kt - onehot_old
+
+        logp = (
+            jnp.log(dk_t[d] + ab)
+            + jnp.log(kw_t[:, w] + eta)
+            - jnp.log(kt_t + V * eta)
+        )
+        g = jax.random.gumbel(jax.random.fold_in(key, t), (K,))
+        new = jnp.argmax(logp + g).astype(jnp.int32)
+        # masked tokens: keep old assignment, counts unchanged
+        new = jnp.where(m > 0, new, old)
+
+        onehot_new = jax.nn.one_hot(new, K, dtype=jnp.float32) * m
+        dk_t = dk_t.at[d].add(onehot_new)
+        kw_t = kw_t.at[new, w].add(m)
+        kt_t = kt_t + onehot_new
+        return (z.at[t].set(new), dk_t, kw_t, kt_t), None
+
+    (z, dk, kw, kt), _ = jax.lax.scan(
+        step,
+        (state.z, state.doc_topic, state.topic_word, state.topic_total),
+        jnp.arange(data.words.shape[0]),
+    )
+    return dataclasses.replace(
+        state, z=z, doc_topic=dk, topic_word=kw, topic_total=kt
+    )
+
+
+# ---------------------------------------------------------------------------
+# beta resampling via CRT table counts
+# ---------------------------------------------------------------------------
+def crt_sample(key, counts, conc, max_count: int):
+    """m ~ CRT(n, a): number of tables from n customers at concentration a.
+
+    m = Σ_{i=0}^{n−1} Bernoulli(a / (a + i)), computed as a masked scan of
+    max_count Bernoulli batches (exact; zero counts give zero tables).
+    counts/conc broadcast elementwise.
+    """
+    counts = jnp.asarray(counts)
+    conc = jnp.broadcast_to(jnp.asarray(conc), counts.shape)
+
+    def body(m, i):
+        p = conc / (conc + i.astype(conc.dtype))
+        b = jax.random.bernoulli(jax.random.fold_in(key, i), p)
+        return m + jnp.where(i.astype(counts.dtype) < counts, b, False).astype(
+            jnp.int32
+        ), None
+
+    m, _ = jax.lax.scan(
+        body, jnp.zeros(counts.shape, jnp.int32), jnp.arange(max_count)
+    )
+    return m
+
+
+@partial(jax.jit, static_argnames=("max_count",))
+def _sample_beta_jit(state: HDPState, key, max_count: int) -> HDPState:
+    K = state.n_topics
+    alpha = state.hypers["alpha"]
+    gamma = state.hypers["gamma"]
+    km, kb = jax.random.split(key)
+    ab = alpha * state.beta[:K]
+    m_dk = crt_sample(km, state.doc_topic, ab[None, :], max_count)
+    m_k = jnp.sum(m_dk, axis=0).astype(jnp.float32)
+    conc = jnp.concatenate([m_k + 1e-8, gamma[None]])
+    beta = jax.random.dirichlet(kb, conc)
+    return dataclasses.replace(state, beta=beta)
+
+
+def sample_beta(state: HDPState, key, max_count: Optional[int] = None):
+    """beta | z: CRT table counts per (doc, topic), then Dirichlet.
+
+    (beta_1..K, beta_rest) ~ Dir(m_·1, …, m_·K, gamma) — Teh et al. §5.3.
+    max_count caps the CRT scan; defaults to max doc-topic count (host
+    round-trip) — pass it explicitly inside jit-ed loops.
+    """
+    if max_count is None:
+        max_count = max(int(jnp.max(state.doc_topic)), 1)
+    return _sample_beta_jit(state, key, max_count)
+
+
+# ---------------------------------------------------------------------------
+# blocked (uncollapsed) sweep — the parallel perf path
+# ---------------------------------------------------------------------------
+def _draw_phi_theta(state: HDPState, key):
+    kphi, kth = jax.random.split(key)
+    eta = state.hypers["eta"]
+    alpha = state.hypers["alpha"]
+    K = state.n_topics
+    phi = jax.random.dirichlet(kphi, state.topic_word + eta)        # [K, V]
+    conc = state.doc_topic + alpha * state.beta[:K][None, :]
+    theta = jax.random.dirichlet(kth, conc)                          # [D, K]
+    return phi, theta
+
+
+@jax.jit
+def blocked_sweep(state: HDPState, data: TokenData, key) -> HDPState:
+    """phi, theta | z, then ALL tokens reassigned in parallel."""
+    kd, kz = jax.random.split(key)
+    phi, theta = _draw_phi_theta(state, kd)
+    log_phi = jnp.log(jnp.clip(phi, 1e-30))     # [K, V]
+    log_theta = jnp.log(jnp.clip(theta, 1e-30))  # [D, K]
+
+    D = state.n_docs
+    logp = (
+        log_theta[jnp.minimum(data.doc_ids, D - 1)]  # [T, K]
+        + log_phi[:, data.words].T                   # [T, K]
+    )
+    g = jax.random.gumbel(kz, logp.shape, logp.dtype)
+    z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+    z = jnp.where(data.mask > 0, z, state.z)
+
+    dk, kw, kt = _counts(z, data, D, state.n_topics, state.vocab_size)
+    return dataclasses.replace(
+        state, z=z, doc_topic=dk, topic_word=kw, topic_total=kt
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-device: token-sharded blocked sweep (config-4 layout)
+# ---------------------------------------------------------------------------
+def shard_corpus(mesh, state: HDPState, data: TokenData):
+    """Place the token axis sharded over the mesh's 'data' axis; state
+    (count tables, beta) replicated — the 'sharded token counts' layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tok = NamedSharding(mesh, P(mesh.axis_names[-1]))
+    rep = NamedSharding(mesh, P())
+    data = TokenData(*(jax.device_put(l, tok) for l in data))
+    state = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), state)
+    state = dataclasses.replace(state, z=jax.device_put(state.z, tok))
+    return state, data
+
+
+def make_sharded_sweep(mesh, state: HDPState, data: TokenData):
+    """Jitted multi-chip blocked sweep: local token reassignment + psum'd
+    count-table rebuild over the 'data' mesh axis (ICI collective)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    state_spec = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: P(), state), z=P(axis)
+    )
+    data_spec = TokenData(P(axis), P(axis), P(axis))
+    out_spec = state_spec
+    D, K, V = state.n_docs, state.n_topics, state.vocab_size
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, data_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def sweep(state, data_blk, key):
+        kd, kz = jax.random.split(key)
+        # same key on every shard -> identical replicated phi/theta draws
+        phi, theta = _draw_phi_theta(state, kd)
+        log_phi = jnp.log(jnp.clip(phi, 1e-30))
+        log_theta = jnp.log(jnp.clip(theta, 1e-30))
+        logp = (
+            log_theta[jnp.minimum(data_blk.doc_ids, D - 1)]
+            + log_phi[:, data_blk.words].T
+        )
+        shard = jax.lax.axis_index(axis)
+        g = jax.random.gumbel(
+            jax.random.fold_in(kz, shard), logp.shape, logp.dtype
+        )
+        z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+        z = jnp.where(data_blk.mask > 0, z, state.z)
+
+        dk, kw, kt = _counts(z, data_blk, D, K, V)
+        dk = jax.lax.psum(dk, axis)
+        kw = jax.lax.psum(kw, axis)
+        kt = jax.lax.psum(kt, axis)
+        return dataclasses.replace(
+            state, z=z, doc_topic=dk, topic_word=kw, topic_total=kt
+        )
+
+    return sweep
+
+
+# ---------------------------------------------------------------------------
+# scoring / diagnostics
+# ---------------------------------------------------------------------------
+def score_joint(state: HDPState) -> jax.Array:
+    """log p(z, w | beta, hypers): Dirichlet-multinomial in both blocks.
+
+    Σ_d log DM(n_d· | alpha*beta) + Σ_k log DM(n_k· | eta·1_V) — the
+    joint-score trace (reference's score_assignment+score_data analog).
+    """
+    K = state.n_topics
+    V = state.vocab_size
+    alpha = state.hypers["alpha"]
+    eta = state.hypers["eta"]
+    ab = alpha * state.beta[:K]
+
+    dk = state.doc_topic
+    nd = jnp.sum(dk, axis=-1)
+    a0 = jnp.sum(ab)
+    doc_term = jnp.sum(
+        gammaln(a0) - gammaln(a0 + nd)
+        + jnp.sum(gammaln(dk + ab[None, :]) - gammaln(ab)[None, :], axis=-1)
+    )
+    kw = state.topic_word
+    word_term = jnp.sum(
+        gammaln(V * eta) - gammaln(V * eta + state.topic_total)
+        + jnp.sum(gammaln(kw + eta) - gammaln(eta), axis=-1)
+    )
+    return doc_term + word_term
+
+
+def perplexity(state: HDPState, data: TokenData) -> jax.Array:
+    """exp(−mean predictive log-lik per token) under posterior-mean phi/theta."""
+    K = state.n_topics
+    eta = state.hypers["eta"]
+    alpha = state.hypers["alpha"]
+    phi = (state.topic_word + eta) / (
+        state.topic_total + state.vocab_size * eta
+    )[:, None]
+    conc = state.doc_topic + alpha * state.beta[:K][None, :]
+    theta = conc / jnp.sum(conc, axis=-1, keepdims=True)
+    D = state.n_docs
+    p = jnp.sum(
+        theta[jnp.minimum(data.doc_ids, D - 1)] * phi[:, data.words].T, axis=-1
+    )
+    ll = jnp.sum(jnp.log(jnp.clip(p, 1e-30)) * data.mask)
+    return jnp.exp(-ll / jnp.maximum(jnp.sum(data.mask), 1.0))

@@ -1,0 +1,216 @@
+"""HDP-LDA tests: exact z-enumeration oracle for the collapsed sampler,
+CRT table-count distribution vs the exact Stirling pmf, beta resampling,
+blocked-sweep recovery, and the token-sharded sweep on the virtual mesh."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import logsumexp as sp_logsumexp
+
+from common_tpu import parallel, testutil
+from common_tpu import topic
+from common_tpu.data.variadic import variadic_dataview
+
+
+def _tiny_corpus():
+    """2 docs x 3 tokens, V=2."""
+    rows = [np.array([0, 0, 1]), np.array([1, 1, 0])]
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    return view, data
+
+
+def _state_with_z(state, data, z):
+    import dataclasses
+
+    dk, kw, kt = topic.hdp._counts(
+        jnp.asarray(z, jnp.int32), data, state.n_docs, state.n_topics,
+        state.vocab_size,
+    )
+    return dataclasses.replace(
+        state, z=jnp.asarray(z, jnp.int32), doc_topic=dk, topic_word=kw,
+        topic_total=kt,
+    )
+
+
+def test_collapsed_matches_z_enumeration():
+    """With beta fixed, the collapsed sampler's stationary distribution
+    over full z vectors must match brute-force enumeration of K^T states."""
+    import dataclasses
+
+    view, data = _tiny_corpus()
+    K = 2
+    state = topic.initialize(view, K, 2, jax.random.key(0),
+                             alpha=0.8, eta=0.5)
+    state = dataclasses.replace(
+        state, beta=jnp.asarray([0.5, 0.3, 0.2])
+    )
+
+    combos, scores = [], []
+    for z in itertools.product(range(K), repeat=6):
+        s = _state_with_z(state, data, z)
+        combos.append(z)
+        scores.append(float(topic.score_joint(s)))
+    exact = dict(zip(combos, np.exp(scores - sp_logsumexp(scores))))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(s, key, n):
+        def body(st, k):
+            st = topic.collapsed_sweep(st, data, k)
+            return st, st.z
+
+        return jax.lax.scan(body, s, jax.random.split(key, n))
+
+    cache = {}
+
+    def sample_fn(n):
+        if n not in cache:
+            s0 = _state_with_z(
+                state, data,
+                np.asarray(
+                    jax.random.randint(
+                        jax.random.key(len(cache) + 3), (6,), 0, K
+                    )
+                ),
+            )
+            _, zs = chain(s0, jax.random.key(len(cache)), n + 100)
+            cache[n] = [tuple(int(v) for v in z) for z in np.asarray(zs)[100:]]
+        return cache[n]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
+    )
+
+
+def test_crt_matches_stirling_pmf():
+    """CRT(5, a): P(m) = |s(5,m)| a^m / (a)_5 — exact Stirling pmf."""
+    n, a = 5, 1.3
+    stirling = np.array([24.0, 50.0, 35.0, 10.0, 1.0])  # |s(5, m)|, m=1..5
+    pmf = stirling * a ** np.arange(1, 6)
+    pmf /= pmf.sum()
+
+    draws = []
+    for i in range(60):
+        m = topic.crt_sample(
+            jax.random.key(i), jnp.full(200, n), jnp.asarray(a), n
+        )
+        draws.append(np.asarray(m))
+    draws = np.concatenate(draws)
+    freq = np.bincount(draws, minlength=6)[1:6] / len(draws)
+    assert np.abs(freq - pmf).max() < 0.01, (freq, pmf)
+
+
+def test_crt_edge_cases():
+    # zero counts -> zero tables; count 1 -> exactly one table
+    m = topic.crt_sample(jax.random.key(0), jnp.asarray([0, 1, 3]),
+                         jnp.asarray(2.0), 3)
+    m = np.asarray(m)
+    assert m[0] == 0 and m[1] == 1 and 1 <= m[2] <= 3
+
+
+def test_sample_beta_tracks_table_mass():
+    """Topics with many tables get large beta; dead topics get little."""
+    import dataclasses
+
+    view, data = _tiny_corpus()
+    state = topic.initialize(view, 4, 2, jax.random.key(0))
+    # all six tokens on topic 0
+    state = _state_with_z(state, data, np.zeros(6, np.int32))
+    betas = []
+    for i in range(200):
+        betas.append(np.asarray(
+            topic.sample_beta(state, jax.random.key(i)).beta
+        ))
+    mean_beta = np.stack(betas).mean(0)
+    assert mean_beta[0] > 0.5, mean_beta
+    assert mean_beta[1:4].max() < 0.2, mean_beta
+
+
+def _synthetic_corpus(n_docs=120, doc_len=40, v_per_topic=8, kb=3, seed=0):
+    """Topics with disjoint vocabularies — unambiguous recovery target."""
+    r = np.random.default_rng(seed)
+    V = v_per_topic * kb
+    doc_topic = r.integers(0, kb, n_docs)
+    rows = []
+    for d in range(n_docs):
+        k = doc_topic[d]
+        # 85% from own topic's vocab block, 15% noise
+        own = r.integers(k * v_per_topic, (k + 1) * v_per_topic, doc_len)
+        noise = r.integers(0, V, doc_len)
+        take_noise = r.random(doc_len) < 0.15
+        rows.append(np.where(take_noise, noise, own))
+    return rows, doc_topic, V
+
+
+@pytest.mark.slow
+def test_blocked_sweep_recovers_topics():
+    rows, doc_topic, V = _synthetic_corpus()
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    state = topic.initialize(view, 10, V, jax.random.key(0),
+                             alpha=0.5, gamma=1.0, eta=0.1)
+    ppl0 = float(topic.perplexity(state, data))
+
+    def run(state, key, n=80):
+        for i in range(n):
+            k = jax.random.fold_in(key, i)
+            state = topic.blocked_sweep(state, data, jax.random.fold_in(k, 0))
+            state = topic.sample_beta(state, jax.random.fold_in(k, 1),
+                                      max_count=64)
+        return state
+
+    state = run(state, jax.random.key(1))
+    ppl1 = float(topic.perplexity(state, data))
+    assert ppl1 < 0.6 * ppl0, (ppl0, ppl1)
+
+    # many-to-one mapped accuracy: each inferred topic votes for the true
+    # topic of the docs it dominates (tolerates benign topic splits)
+    zhat = np.asarray(jnp.argmax(state.doc_topic, axis=-1))
+    mapping = {}
+    for k in np.unique(zhat):
+        true_of_k = doc_topic[zhat == k]
+        mapping[k] = np.bincount(true_of_k).argmax()
+    acc = np.mean([mapping[z] == t for z, t in zip(zhat, doc_topic)])
+    assert acc > 0.95, acc
+    # topic-word structure: each true vocab block is owned by topics whose
+    # mass concentrates there
+    kw = np.asarray(state.topic_word)
+    big = kw.sum(axis=1) > 100
+    blocks = kw[big].reshape(big.sum(), 3, -1).sum(axis=-1)
+    purity = blocks.max(axis=1) / blocks.sum(axis=1)
+    assert (purity > 0.8).all(), purity
+
+
+def test_sharded_sweep_matches_invariants(cpu_devices):
+    rows, doc_topic, V = _synthetic_corpus(n_docs=40, doc_len=24, seed=1)
+    total = sum(len(r) for r in rows)
+    pad = -(-total // 8) * 8
+    view = variadic_dataview(rows, pad_to=pad)
+    data = topic.token_data(view)
+
+    mesh = parallel.make_mesh(chains=1, data=8, devices=cpu_devices[:8])
+    with jax.default_device(cpu_devices[0]):
+        state = topic.initialize(view, 8, V, jax.random.key(0), eta=0.1)
+        sstate, sdata = topic.shard_corpus(mesh, state, data)
+        sweep = topic.make_sharded_sweep(mesh, sstate, sdata)
+        for i in range(30):
+            k = jax.random.fold_in(jax.random.key(2), i)
+            sstate = sweep(sstate, sdata, jax.random.fold_in(k, 0))
+            sstate = topic.sample_beta(sstate, jax.random.fold_in(k, 1),
+                                       max_count=32)
+        # invariants: count tables consistent with z
+        dk, kw, kt = topic.hdp._counts(
+            sstate.z, sdata, state.n_docs, state.n_topics, V
+        )
+        assert np.allclose(np.asarray(dk), np.asarray(sstate.doc_topic))
+        assert np.allclose(np.asarray(kw), np.asarray(sstate.topic_word))
+        assert float(jnp.sum(sstate.topic_total)) == total
+        # mixing actually reduced perplexity
+        ppl = float(topic.perplexity(sstate, sdata))
+        state2 = topic.initialize(view, 8, V, jax.random.key(9), eta=0.1)
+        assert ppl < 0.8 * float(topic.perplexity(state2, sdata))
