@@ -139,3 +139,52 @@ def restat(state: MixtureState, data, z, thetas=None) -> MixtureState:
 def assign(state: MixtureState, data, key) -> MixtureState:
     """Runner-kernel alias ('assign_blocked')."""
     return sweep(state, data, key)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused fast path (single-feature NIW)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
+                interpret: bool = False) -> MixtureState:
+    """Blocked sweep with the Pallas fused score+Gumbel+argmax kernel.
+
+    Same sampler as `sweep`, but the [N, K] score table never touches HBM
+    (ops/gaussian_assign.py).  Restricted to a single NIW feature — the
+    headline 1M-row dense-Gaussian configuration; other models use `sweep`.
+    """
+    if state.lik_names != ("niw",):
+        raise ValueError(
+            f"sweep_fused supports a single niw feature, got {state.lik_names}"
+        )
+    from jax.scipy.linalg import solve_triangular
+
+    from common_tpu.ops.gaussian_assign import fused_gaussian_assign
+
+    x, mask = data[0]
+    d = x.shape[-1]
+    kth, kv, kz, km = jax.random.split(key, 4)
+    lik = state.likelihoods()[0]
+    theta = lik.sample_params(kth, state.hypers[0], state.stats[0])
+    mu, chol = theta["mu"], theta["cov_chol"]  # [K, D], [K, D, D]
+    eye = jnp.eye(d, dtype=chol.dtype)
+    binv = jax.vmap(lambda c: solve_triangular(c, eye, lower=True))(chol)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )
+    if state.fixed:
+        logw = dirichlet_log_weights(kv, state.counts, state.cluster_hp["alphas"])
+    else:
+        logw = stick_break_log_weights(
+            kv, state.counts, state.cluster_hp["alpha"].astype(jnp.float32)
+        )
+    base = logw - 0.5 * logdet - 0.5 * d * jnp.log(2.0 * jnp.pi)
+    seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+    z = fused_gaussian_assign(
+        x, mu, binv, base, seed, tile_n=tile_n, interpret=interpret
+    )
+    # fully-masked rows carry no likelihood: assign from the weights alone
+    g = jax.random.gumbel(km, (x.shape[0], logw.shape[0]))
+    z_prior = jnp.argmax(logw[None, :] + g, axis=-1).astype(jnp.int32)
+    z = jnp.where(jnp.asarray(mask) > 0, z, z_prior)
+    return restat(state, data, z, [theta])

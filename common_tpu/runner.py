@@ -44,6 +44,12 @@ def _k_assign_blocked(state, data, key, **kw):
     return blocked.sweep(state, data, key)
 
 
+def _k_assign_blocked_fused(state, data, key, **kw):
+    from common_tpu.kernels import blocked
+
+    return blocked.sweep_fused(state, data, key, **kw)
+
+
 def _k_grid_feature_hp(state, data, key, **kw):
     return gibbs.hp(state, kw["specs"], key)
 
@@ -91,6 +97,7 @@ KERNELS: Dict[str, Callable] = {
     "assign_resample": _k_assign_resample,
     "assign_fixed": _k_assign_fixed,
     "assign_blocked": _k_assign_blocked,
+    "assign_blocked_fused": _k_assign_blocked_fused,
     "grid_feature_hp": _k_grid_feature_hp,
     "grid_cluster_hp": _k_grid_cluster_hp,
     "theta": _k_theta,

@@ -1,0 +1,142 @@
+"""Pallas fused-assignment kernel tests.
+
+CPU tests run the real kernel through `pltpu.force_tpu_interpret_mode`
+(covers kernel logic, PRNG plumbing, padding); `tpu`-marked tests run the
+compiled Mosaic kernel on the attached chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from common_tpu import models
+from common_tpu import state as st
+from common_tpu.kernels import blocked
+from common_tpu.ops.gaussian_assign import (
+    fused_gaussian_assign,
+    gaussian_assign_reference,
+)
+
+
+def _problem(n=900, d=8, k=6, sep=3.0, seed=0):
+    r = np.random.default_rng(seed)
+    mu = r.normal(scale=sep, size=(k, d)).astype(np.float32)
+    X = (mu[r.integers(0, k, n)] + r.normal(scale=0.5, size=(n, d))).astype(
+        np.float32
+    )
+    binv = np.stack([np.eye(d, dtype=np.float32) * 2.0] * k)
+    base = np.zeros(k, np.float32)
+    return map(jnp.asarray, (X, mu, binv, base))
+
+
+def test_interpret_matches_reference_well_separated():
+    X, mu, binv, base = _problem()
+    with pltpu.force_tpu_interpret_mode():
+        z = fused_gaussian_assign(X, mu, binv, base, 7)
+    zr = gaussian_assign_reference(X, mu, binv, base, jax.random.key(0))
+    # well-separated: both samplers are near-deterministic and must agree
+    assert (np.asarray(z) == np.asarray(zr)).mean() > 0.99
+
+
+def test_interpret_padding_roundtrip():
+    # n not a multiple of tile_n: padded rows must not leak into output
+    X, mu, binv, base = _problem(n=1500)
+    with pltpu.force_tpu_interpret_mode():
+        z = fused_gaussian_assign(X, mu, binv, base, 3)
+    assert z.shape == (1500,)
+    assert (np.asarray(z) >= 0).all() and (np.asarray(z) < 6).all()
+
+
+@pytest.mark.tpu
+def test_tpu_sampling_distribution():
+    """Ambiguous rows: per-row assignment frequencies match softmax probs.
+
+    TPU-only: the Pallas *interpreter* stubs out prng_seed (identical bits
+    for every seed — verified), so distributional behavior can only be
+    validated on the compiled Mosaic kernel."""
+    d, k, n = 4, 5, 64
+    r = np.random.default_rng(1)
+    mu = jnp.asarray(r.normal(scale=0.8, size=(k, d)), jnp.float32)
+    X = jnp.asarray(r.normal(scale=1.0, size=(n, d)), jnp.float32)
+    binv = jnp.asarray(np.stack([np.eye(d, dtype=np.float32)] * k))
+    base = jnp.asarray(r.normal(size=k), jnp.float32)
+
+    dev = X[:, None, :] - mu[None]
+    logp = base[None, :] - 0.5 * jnp.sum(dev * dev, axis=-1)
+    probs = np.asarray(jax.nn.softmax(logp, axis=-1))
+
+    tpu = [d_ for d_ in jax.devices() if d_.platform != "cpu"][0]
+    reps = 300
+    counts = np.zeros((n, k))
+    with jax.default_device(tpu):
+        zs = []
+        for i in range(reps):
+            zs.append(fused_gaussian_assign(X, mu, binv, base, 100 + i))
+        for z in np.asarray(jnp.stack(zs)):
+            counts[np.arange(n), z] += 1
+    freq = counts / reps
+    # binomial se ~ sqrt(p(1-p)/300) <= 0.029; allow 5 se
+    assert np.abs(freq - probs).max() < 0.15, np.abs(freq - probs).max()
+    # aggregate check is much tighter
+    assert np.abs(freq.mean(0) - probs.mean(0)).max() < 0.03
+
+
+def _recovery_problem():
+    r = np.random.default_rng(2)
+    centers = np.array([[-4.0, 0.0], [4.0, 0.0], [0.0, 5.0]])
+    zt = r.integers(0, 3, 600)
+    X = (centers[zt] + r.normal(scale=0.6, size=(600, 2))).astype(np.float32)
+    defn = st.model_definition(600, [models.niw(2)], k_max=8)
+    data = ((jnp.asarray(X), jnp.ones(600)),)
+    return defn, data, zt
+
+
+def test_sweep_fused_interpret_invariants():
+    """Interpreter covers the sweep plumbing (the stubbed PRNG freezes the
+    Gumbel noise across sweeps, so mixing/recovery is TPU-only below)."""
+    defn, data, zt = _recovery_problem()
+    s = st.initialize(defn, data, jax.random.key(0), cluster_hp={"alpha": 1.0})
+    with pltpu.force_tpu_interpret_mode():
+        for i in range(3):
+            s = blocked.sweep_fused(
+                s, data, jax.random.fold_in(jax.random.key(1), i)
+            )
+    assert int(jnp.sum(s.counts)) == 600
+    assert np.isfinite(float(st.score_joint(s)))
+
+
+@pytest.mark.tpu
+def test_sweep_fused_tpu_recovers_clusters():
+    defn, data, zt = _recovery_problem()
+    tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+    with jax.default_device(tpu):
+        s = st.initialize(defn, data, jax.random.key(0),
+                          cluster_hp={"alpha": 1.0})
+        for i in range(30):
+            s = blocked.sweep_fused(
+                s, data, jax.random.fold_in(jax.random.key(1), i)
+            )
+        zz = np.asarray(s.assignments)
+    co = zz[:, None] == zz[None, :]
+    truth = zt[:, None] == zt[None, :]
+    assert (co == truth).mean() > 0.95
+    assert int(np.asarray(s.counts).sum()) == 600
+
+
+def test_sweep_fused_rejects_wrong_model():
+    defn = st.model_definition(4, [models.bb], k_max=2)
+    data = ((jnp.zeros(4), jnp.ones(4)),)
+    s = st.initialize(defn, data, jax.random.key(0))
+    with pytest.raises(ValueError, match="niw"):
+        blocked.sweep_fused(s, data, jax.random.key(1))
+
+
+@pytest.mark.tpu
+def test_tpu_compiled_matches_reference():
+    X, mu, binv, base = _problem(n=4096, d=16, k=8)
+    tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+    with jax.default_device(tpu):
+        z = fused_gaussian_assign(X, mu, binv, base, 11)
+        zr = gaussian_assign_reference(X, mu, binv, base, jax.random.key(0))
+        assert (np.asarray(z) == np.asarray(zr)).mean() > 0.99
