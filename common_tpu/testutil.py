@@ -26,8 +26,16 @@ def permutation_iter(n: int) -> Iterator[Tuple[int, ...]]:
 
     Canonical form: assignment vector where group ids appear in order of
     first occurrence (restricted growth strings). Count = Bell(n).
+    Backed by the native enumerator (common_tpu/native) when available;
+    this pure-Python recursion is the fallback and the cross-check.
     """
     validator.validate_positive(n, "n")
+    from common_tpu import native
+
+    if n > 2 and native.available():
+        for row in native.enumerate_partitions(n):
+            yield tuple(int(v) for v in row)
+        return
 
     def rec(prefix, maxg):
         if len(prefix) == n:
@@ -48,6 +56,17 @@ def permutation_canonical(assignment) -> Tuple[int, ...]:
             relabel[a] = len(relabel)
         out.append(relabel[a])
     return tuple(out)
+
+
+def canonicalize_batch(assignments) -> list:
+    """Canonicalize a [S, n] batch of assignment vectors to tuples.
+
+    Native-accelerated (one C call for the whole trace) — use this instead
+    of per-row permutation_canonical when binning long MCMC traces."""
+    from common_tpu import native
+
+    out = native.canonicalize_batch(assignments)
+    return [tuple(int(v) for v in row) for row in out]
 
 
 def dist_on_all_clusterings(score_fn: Callable, n: int):
