@@ -178,6 +178,34 @@ def theta(state: MixtureState, key) -> MixtureState:
     return dataclasses.replace(state, stats=tuple(new_stats))
 
 
+@jax.jit
+def cluster_hp_escobar_west(
+    state: MixtureState, key, a: float = 1.0, b: float = 1.0
+) -> MixtureState:
+    """Exact auxiliary-variable Gibbs for the CRP concentration α
+    (Escobar & West 1995 §6) under an α ~ Gamma(a, b) prior:
+
+      η ~ Beta(α+1, n);  π = (a+K⁺−1)/(a+K⁺−1 + n(b − log η));
+      α ~ π·Gamma(a+K⁺, b−log η) + (1−π)·Gamma(a+K⁺−1, b−log η).
+
+    One fused draw per call — the classic alternative to grid Gibbs
+    (kernels' gibbs.hp over cluster hypers) with no grid to tune.
+    """
+    alpha = state.cluster_hp["alpha"].astype(jnp.float32)
+    n = jnp.sum(state.counts).astype(jnp.float32)
+    kplus = jnp.sum(state.counts > 0).astype(jnp.float32)
+    ke, kp, kg = jax.random.split(key, 3)
+    eta = jax.random.beta(ke, alpha + 1.0, n)
+    log_eta = jnp.log(jnp.clip(eta, 1e-30))
+    odds = (a + kplus - 1.0) / (n * (b - log_eta))
+    pick_high = jax.random.uniform(kp) < odds / (1.0 + odds)
+    shape = jnp.where(pick_high, a + kplus, a + kplus - 1.0)
+    new_alpha = jax.random.gamma(kg, shape) / (b - log_eta)
+    return dataclasses.replace(
+        state, cluster_hp={"alpha": new_alpha.astype(alpha.dtype)}
+    )
+
+
 def cluster_hp(
     state: MixtureState,
     prior_fn: Callable,

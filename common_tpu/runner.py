@@ -58,6 +58,12 @@ def _k_grid_cluster_hp(state, data, key, **kw):
     return gibbs.cluster_hp(state, kw["prior"], kw["grid"], key)
 
 
+def _k_ew_cluster_hp(state, data, key, **kw):
+    return gibbs.cluster_hp_escobar_west(
+        state, key, kw.get("a", 1.0), kw.get("b", 1.0)
+    )
+
+
 def _k_theta(state, data, key, **kw):
     return gibbs.theta(state, key)
 
@@ -100,6 +106,7 @@ KERNELS: Dict[str, Callable] = {
     "assign_blocked_fused": _k_assign_blocked_fused,
     "grid_feature_hp": _k_grid_feature_hp,
     "grid_cluster_hp": _k_grid_cluster_hp,
+    "ew_cluster_hp": _k_ew_cluster_hp,
     "theta": _k_theta,
     "slice_theta": _k_slice_theta,
     "slice_hp": _k_slice_hp,
