@@ -27,6 +27,9 @@ _TRIED = False
 
 
 def _build() -> Optional[str]:
+    prebuilt = os.path.join(_HERE, "partition_prebuilt.so")
+    if os.path.exists(prebuilt):  # `python setup.py build_native`
+        return prebuilt
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
     cache_dir = os.environ.get(
