@@ -49,9 +49,14 @@ def empty_state(defn, data, key, cluster_hp=None, feature_hps=None,
 
 def linear_schedule(n: int, n_init: int = 0, add_per_step: int = 8,
                     resample_per_step: int = 8):
-    """(n_steps, add, resample) covering all n rows with a linear ramp."""
-    remaining = n - n_init
-    n_steps = -(-remaining // add_per_step)
+    """(n_steps, add, resample) covering all n rows with a linear ramp.
+
+    Returns at least 1 step so a fully-assigned initial state (n_init >= n)
+    degrades to one random-scan resample block instead of an invalid
+    n_steps == 0 config.
+    """
+    remaining = max(n - n_init, 0)
+    n_steps = max(-(-remaining // add_per_step), 1)
     return n_steps, add_per_step, resample_per_step
 
 
@@ -94,11 +99,16 @@ def run(
         st, n_active = carry
         kt = jax.random.fold_in(ksteps, t)
 
-        # rows to seat this step: perm[n_active + j], clamped at n
-        # (clamped duplicates degrade to resamples of the last row)
+        # rows to seat this step: perm[n_active + j]; once the prefix is
+        # exhausted, leftover add slots become uniform resamples over the
+        # full active set (clamping them all to row n-1 would waste every
+        # post-activation add slot on one fixed row)
         j = jnp.arange(add_per_step)
-        add_idx = jnp.minimum(n_active + j, n - 1)
         n_next = jnp.minimum(n_active + add_per_step, n)
+        spill = jax.random.randint(
+            jax.random.fold_in(kt, 0), (add_per_step,), 0, n_next
+        )
+        add_idx = jnp.where(n_active + j < n, n_active + j, spill)
 
         # resample targets: uniform over the new active prefix
         ridx = jax.random.randint(

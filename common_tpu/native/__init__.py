@@ -26,12 +26,30 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _source_tag() -> Optional[str]:
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+
+
 def _build() -> Optional[str]:
+    tag = _source_tag()
     prebuilt = os.path.join(_HERE, "partition_prebuilt.so")
     if os.path.exists(prebuilt):  # `python setup.py build_native`
-        return prebuilt
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        # Only trust the prebuilt if its sidecar hash matches the current
+        # source (a stale oracle is worse than a rebuild); with no source
+        # shipped at all (bare wheel), the prebuilt is the only option.
+        try:
+            with open(prebuilt + ".hash") as f:
+                built_tag = f.read().strip()
+        except OSError:
+            built_tag = None
+        if tag is None or built_tag == tag:
+            return prebuilt
+    if tag is None:
+        return None  # no source, no matching prebuilt -> Python fallback
     cache_dir = os.environ.get(
         "COMMON_TPU_NATIVE_CACHE",
         os.path.join(tempfile.gettempdir(), "common_tpu_native"),

@@ -28,12 +28,19 @@ class build_native(Command):
         pass
 
     def run(self):
+        import hashlib
+
         here = os.path.dirname(os.path.abspath(__file__))
         src = os.path.join(here, "common_tpu", "native", "partition.cpp")
         out = os.path.join(here, "common_tpu", "native", "partition_prebuilt.so")
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
         print(" ".join(cmd))
         subprocess.run(cmd, check=True)
+        # sidecar hash so the loader can detect a stale prebuilt
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        with open(out + ".hash", "w") as f:
+            f.write(tag + "\n")
 
 
 setup(cmdclass={"build_native": build_native})

@@ -64,7 +64,10 @@ def test_anneal_recovers_two_clusters():
     )
     n_steps, add, res = annealing.linear_schedule(n, add_per_step=8,
                                                   resample_per_step=8)
-    s = annealing.run(s0, data, jax.random.key(4), n_steps + 20,
+    # +60 post-activation steps: once every row is seated, each step is
+    # add+res = 16 uniform random-scan updates, so this is ~5 effective
+    # full sweeps of burn-in after the anneal reaches the full posterior.
+    s = annealing.run(s0, data, jax.random.key(4), n_steps + 60,
                       add_per_step=add, resample_per_step=res)
     z = np.asarray(s.assignments)
     # dominant cluster on each side of the separation must differ
