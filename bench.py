@@ -111,16 +111,23 @@ def run_tier(n, d, k_max, sweeps, key):
 
     t0 = time.perf_counter()
     x, s = setup(key)
-    jax.block_until_ready(s.counts)
+    np.asarray(s.counts)
     setup_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     compiled = run.lower(x, s, key).compile()
     compile_s = time.perf_counter() - t0
 
+    # Warm-up execution: the first run of a compiled program pays one-time
+    # buffer/layout costs; and on the axon backend block_until_ready does
+    # NOT wait for execution — only a literal host fetch does — so every
+    # timed region below ends with np.asarray of a small output.
+    s_out, trace = compiled(x, s, key)
+    np.asarray(s_out.counts)
+
     t0 = time.perf_counter()
     s_out, trace = compiled(x, s, key)
-    jax.block_until_ready(s_out.counts)
+    np.asarray(s_out.counts)
     dt = time.perf_counter() - t0
 
     trace = np.asarray(trace, np.float64)

@@ -1,20 +1,30 @@
-"""State serialization / checkpoint-resume.
+"""State serialization / checkpoint-resume for every latent-state family.
 
 Reference analog: ``common:src/io/schema.proto`` +
 ``group_manager::serialize()`` — protobuf persistence of the assignment
 vector, per-group counts, packed suffstats and hypers, surfaced in Python
-as ``state.serialize()`` / ``deserialize``.
+as ``state.serialize()`` / ``deserialize``.  In the reference *every*
+latent state serializes (mixturemodel, irm, lda all route through
+group_manager); this module gives the same coverage for the rebuild's
+state families:
 
-TPU-native design (SURVEY.md §5.4): the state is already a pytree of
-arrays, so persistence is an npz archive keyed by leaf path plus a JSON
-metadata header (likelihood names, fixed flag, shapes).  `extra` carries
-anything needed for bit-exact resume (PRNG key, iteration counter) —
-checkpointed chains resume identically because all randomness is
-fold_in-derived from the saved key.
+  MixtureState (state.py), IRMState (relational/state.py), HDPState
+  (topic/hdp.py), SVIPosterior (kernels/svi.py), and SMC particle sets
+  (kernels/smc.py — a MixtureState with a leading particle axis plus
+  log-weights, saved via ``extra``).
+
+TPU-native design (SURVEY.md §5.4): each state is a registered-dataclass
+pytree, so persistence is generic — data fields are walked (dicts /
+tuples / arrays), each array leaf lands in an npz archive under its path,
+static fields and the container skeleton go into a JSON header.  `extra`
+carries anything needed for bit-exact resume (PRNG key, iteration
+counter, SMC log-weights); checkpointed chains resume identically because
+all randomness is fold_in-derived from the saved key.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import io as _io
 import json
 from typing import Any, Dict, Optional, Tuple
@@ -23,39 +33,23 @@ import jax
 import numpy as np
 
 from common_tpu import validator
-from common_tpu.state import MixtureState
 
 _META_KEY = "__meta__"
 
 
-def _flatten(state: MixtureState, extra: Optional[Dict[str, Any]] = None):
-    arrays: Dict[str, np.ndarray] = {
-        "assignments": np.asarray(state.assignments),
-        "counts": np.asarray(state.counts),
+def _state_types() -> Dict[str, type]:
+    # late imports: io must not force the whole package graph at import
+    from common_tpu.kernels.svi import SVIPosterior
+    from common_tpu.relational.state import IRMState
+    from common_tpu.state import MixtureState
+    from common_tpu.topic.hdp import HDPState
+
+    return {
+        "MixtureState": MixtureState,
+        "IRMState": IRMState,
+        "HDPState": HDPState,
+        "SVIPosterior": SVIPosterior,
     }
-    for k, v in state.cluster_hp.items():
-        arrays[f"cluster_hp.{k}"] = np.asarray(v)
-    for f, stats_f in enumerate(state.stats):
-        for k, v in stats_f.items():
-            arrays[f"stats.{f}.{k}"] = np.asarray(v)
-    for f, hyper_f in enumerate(state.hypers):
-        for k, v in hyper_f.items():
-            arrays[f"hypers.{f}.{k}"] = np.asarray(v)
-    for k, v in (extra or {}).items():
-        arrays[f"extra.{k}"] = np.asarray(
-            jax.random.key_data(v) if _is_key(v) else v
-        )
-    meta = {
-        "lik_names": list(state.lik_names),
-        "fixed": bool(state.fixed),
-        "stat_keys": [sorted(s) for s in state.stats],
-        "hyper_keys": [sorted(h) for h in state.hypers],
-        "cluster_hp_keys": sorted(state.cluster_hp),
-        "extra_keys": sorted(extra) if extra else [],
-        "key_extras": [k for k, v in (extra or {}).items() if _is_key(v)],
-        "version": 1,
-    }
-    return arrays, meta
 
 
 def _is_key(v) -> bool:
@@ -65,55 +59,122 @@ def _is_key(v) -> bool:
         return False
 
 
-def serialize(state: MixtureState, extra: Optional[Dict[str, Any]] = None) -> bytes:
-    """state -> bytes (reference parity: state.serialize())."""
-    arrays, meta = _flatten(state, extra)
+def _flatten_value(v, path: str, arrays: Dict[str, np.ndarray]):
+    """Value → JSON skeleton; array leaves collected into `arrays`."""
+    if isinstance(v, dict):
+        return {
+            "kind": "dict",
+            "items": {
+                k: _flatten_value(v[k], f"{path}.{k}", arrays)
+                for k in sorted(v)
+            },
+        }
+    if isinstance(v, (tuple, list)):
+        return {
+            "kind": "tuple" if isinstance(v, tuple) else "list",
+            "items": [
+                _flatten_value(x, f"{path}.{i}", arrays)
+                for i, x in enumerate(v)
+            ],
+        }
+    if _is_key(v):
+        arrays[path] = np.asarray(jax.random.key_data(v))
+        return {"kind": "prng_key"}
+    arrays[path] = np.asarray(v)
+    return {"kind": "array"}
+
+
+def _rebuild_value(spec, path: str, z):
+    import jax.numpy as jnp
+
+    kind = spec["kind"]
+    if kind == "dict":
+        return {
+            k: _rebuild_value(s, f"{path}.{k}", z)
+            for k, s in spec["items"].items()
+        }
+    if kind in ("tuple", "list"):
+        items = [
+            _rebuild_value(s, f"{path}.{i}", z)
+            for i, s in enumerate(spec["items"])
+        ]
+        return tuple(items) if kind == "tuple" else items
+    if kind == "prng_key":
+        return jax.random.wrap_key_data(jnp.asarray(z[path]))
+    return jnp.asarray(z[path])
+
+
+def serialize(state, extra: Optional[Dict[str, Any]] = None) -> bytes:
+    """state → bytes (reference parity: state.serialize()).
+
+    `state` may be any registered state dataclass (MixtureState, IRMState,
+    HDPState, SVIPosterior); leading batch axes (chains, particles) ride
+    along transparently since leaves are saved verbatim.
+    """
+    tname = type(state).__name__
+    if tname not in _state_types():
+        raise TypeError(
+            f"cannot checkpoint {tname}; known state types: "
+            f"{sorted(_state_types())}"
+        )
+    arrays: Dict[str, np.ndarray] = {}
+    fields: Dict[str, Any] = {}
+    static: Dict[str, Any] = {}
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if f.metadata.get("static", False):
+            static[f.name] = v
+        else:
+            fields[f.name] = _flatten_value(v, f"f.{f.name}", arrays)
+    extra_spec = {}
+    for k, v in (extra or {}).items():
+        extra_spec[k] = _flatten_value(v, f"extra.{k}", arrays)
+    meta = {
+        "type": tname,
+        "fields": fields,
+        "static": jax.tree_util.tree_map(
+            lambda x: x, static
+        ),  # JSON-able by contract (names/flags/domain tuples)
+        "extra": extra_spec,
+        "version": 2,
+    }
     buf = _io.BytesIO()
     np.savez(buf, **arrays, **{_META_KEY: np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)})
     return buf.getvalue()
 
 
-def deserialize(blob: bytes) -> Tuple[MixtureState, Dict[str, Any]]:
-    """bytes -> (state, extra)."""
-    import jax.numpy as jnp
+def _tuplify(v):
+    """JSON round-trips tuples as lists; static fields expect tuples."""
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
 
+
+def deserialize(blob: bytes):
+    """bytes → (state, extra); state type restored from the header."""
     with np.load(_io.BytesIO(blob)) as z:
         meta = json.loads(bytes(z[_META_KEY].tobytes()).decode())
-        validator.validate_one_of(meta["version"], (1,), "checkpoint version")
-        state = MixtureState(
-            assignments=jnp.asarray(z["assignments"]),
-            counts=jnp.asarray(z["counts"]),
-            cluster_hp={
-                k: jnp.asarray(z[f"cluster_hp.{k}"])
-                for k in meta["cluster_hp_keys"]
-            },
-            stats=tuple(
-                {k: jnp.asarray(z[f"stats.{f}.{k}"]) for k in keys}
-                for f, keys in enumerate(meta["stat_keys"])
-            ),
-            hypers=tuple(
-                {k: jnp.asarray(z[f"hypers.{f}.{k}"]) for k in keys}
-                for f, keys in enumerate(meta["hyper_keys"])
-            ),
-            lik_names=tuple(meta["lik_names"]),
-            fixed=meta["fixed"],
-        )
-        extra = {}
-        for k in meta["extra_keys"]:
-            v = z[f"extra.{k}"]
-            if k in meta["key_extras"]:
-                extra[k] = jax.random.wrap_key_data(jnp.asarray(v))
-            else:
-                extra[k] = jnp.asarray(v)
-    return state, extra
+        validator.validate_one_of(meta["version"], (2,), "checkpoint version")
+        cls = _state_types()[meta["type"]]
+        kwargs = {
+            name: _rebuild_value(spec, f"f.{name}", z)
+            for name, spec in meta["fields"].items()
+        }
+        for name, v in meta["static"].items():
+            kwargs[name] = _tuplify(v)
+        extra = {
+            k: _rebuild_value(spec, f"extra.{k}", z)
+            for k, spec in meta["extra"].items()
+        }
+    return cls(**kwargs), extra
 
 
-def save(path: str, state: MixtureState, extra: Optional[Dict[str, Any]] = None):
+def save(path: str, state, extra: Optional[Dict[str, Any]] = None):
     with open(path, "wb") as f:
         f.write(serialize(state, extra))
 
 
-def load(path: str) -> Tuple[MixtureState, Dict[str, Any]]:
+def load(path: str):
     with open(path, "rb") as f:
         return deserialize(f.read())

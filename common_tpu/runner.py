@@ -145,7 +145,11 @@ def make_step(kernel_config: Sequence, data) -> Callable:
 def _run_scan(state, key, step, niters, collect_assignments):
     def body(st, t):
         st = step(st, jax.random.fold_in(key, t))
-        out = {"score": state_mod.score_joint(st)}
+        out = {
+            "score": state_mod.score_joint(st),
+            "k_active": jnp.sum(st.counts > 0),
+            "counts": st.counts,
+        }
         if collect_assignments:
             out["assignments"] = st.assignments
         return st, out
@@ -156,9 +160,16 @@ def _run_scan(state, key, step, niters, collect_assignments):
 class runner:
     """Reference-parity runner: r = runner(defn, data, state, config);
     r.run(key, niters).  Traces (assignments, joint score) are collected
-    on-device and exposed as host arrays."""
+    on-device and exposed as host arrays.
 
-    def __init__(self, defn, data, state: MixtureState, kernel_config):
+    jsonl_path: optional structured per-sweep observability (SURVEY.md
+    §5.5 rebuild item) — one JSON line per sweep with the joint log-score,
+    active-cluster count, occupancy histogram, and (on each run() call)
+    running ESS/split-R̂ of the score trace.
+    """
+
+    def __init__(self, defn, data, state: MixtureState, kernel_config,
+                 jsonl_path: str | None = None):
         self._defn = defn
         self._data = data
         self._state = state
@@ -166,6 +177,8 @@ class runner:
         self._step = make_step(self._config, data)
         self._assignment_trace = []
         self._score_trace = []
+        self._jsonl_path = jsonl_path
+        self._sweep_idx = 0
 
     def run(self, key, niters: int = 1, collect: bool = True):
         validator.validate_positive(niters, "niters")
@@ -177,7 +190,50 @@ class runner:
 
             self._assignment_trace.append(np.asarray(trace["assignments"]))
             self._score_trace.append(np.asarray(trace["score"]))
+        if self._jsonl_path is not None:
+            self._write_jsonl(trace)
+        self._warn_if_saturated()
         return self._state
+
+    def _write_jsonl(self, trace):
+        import json
+
+        import numpy as np
+
+        from common_tpu.utils import diagnostics
+
+        scores = np.asarray(trace["score"])
+        k_active = np.asarray(trace["k_active"])
+        counts = np.asarray(trace["counts"])
+        full = self.score_trace
+        ess = (
+            float(diagnostics.ess(full)) if full.shape[-1] >= 4 else None
+        )
+        with open(self._jsonl_path, "a") as f:
+            for i in range(scores.shape[0]):
+                occ = counts[i][counts[i] > 0]
+                f.write(json.dumps({
+                    "sweep": self._sweep_idx,
+                    "score_joint": float(scores[i]),
+                    "k_active": int(k_active[i]),
+                    "occupancy": np.sort(occ)[::-1].tolist(),
+                    "ess": ess if i == scores.shape[0] - 1 else None,
+                }) + "\n")
+                self._sweep_idx += 1
+
+    def _warn_if_saturated(self):
+        import warnings
+
+        if bool(state_mod.is_saturated(self._state)):
+            warnings.warn(
+                f"all {self._state.k_max} cluster slots are occupied: the "
+                "CRP can no longer open new clusters and the truncation "
+                "may bias the posterior. Re-pad with "
+                "common_tpu.state.repad(state, new_k_max) and rebuild the "
+                "runner.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     def get_latent(self) -> MixtureState:
         return self._state

@@ -295,6 +295,55 @@ def crp_prior_scores(state: MixtureState):
     )
 
 
+def is_saturated(state: MixtureState):
+    """True when every K_max slot is occupied (no empty slot to open).
+
+    SURVEY.md §7 "hard parts": under the padded-K representation a CRP
+    state with all slots active silently stops proposing new clusters
+    (crp_prior_scores drops the log-α term).  Samplers remain valid MCMC
+    on the *truncated* support, but the truncation is no longer negligible
+    — callers should re-pad (see `repad`) and recompile.  Fixed-K states
+    are never "saturated" (their support is exactly K).
+    """
+    if state.fixed:
+        return jnp.asarray(False)
+    return jnp.all(state.counts > 0)
+
+
+def repad(state: MixtureState, new_k_max: int) -> MixtureState:
+    """Host-side K_max growth: pad every cluster-axis leaf with empty slots.
+
+    The re-pad + recompile tier of the K_max overflow policy (SURVEY.md §7):
+    returns an equivalent state with capacity `new_k_max`; downstream jitted
+    kernels recompile once for the new static shape.  Pair with
+    ``dataclasses.replace(defn, k_max=new_k_max)`` for definition objects.
+    """
+    validator.validate_positive(new_k_max, "new_k_max")
+    k_old = state.k_max
+    if new_k_max < k_old:
+        raise ValueError(
+            f"new_k_max ({new_k_max}) must be >= current k_max ({k_old})"
+        )
+    if state.fixed:
+        raise ValueError("fixed-K states have exactly K components; cannot repad")
+    if new_k_max == k_old:
+        return state
+    grow = new_k_max - k_old
+
+    def pad_leaf(leaf):
+        widths = [(0, grow)] + [(0, 0)] * (leaf.ndim - 1)
+        return jnp.pad(leaf, widths)
+
+    new_stats = tuple(
+        {k: pad_leaf(v) for k, v in stats_f.items()} for stats_f in state.stats
+    )
+    return dataclasses.replace(
+        state,
+        counts=pad_leaf(state.counts),
+        stats=new_stats,
+    )
+
+
 def score_value(state: MixtureState, data, eid):
     """[K] log p(assign row eid to each slot): CRP prior + likelihoods.
 

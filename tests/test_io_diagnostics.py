@@ -101,3 +101,104 @@ def test_summarize_traces():
     out = diagnostics.summarize_traces(r.normal(size=(2, 300)))
     assert set(out) >= {"ess", "rhat", "mean", "std", "nchains", "nsamples"}
     assert out["nchains"] == 2 and out["nsamples"] == 300
+
+
+# ---------------------------------------------------------------------------
+# checkpoint coverage for every latent-state family (VERDICT.md items 5-7:
+# reference parity — group_manager::serialize covers mixture, irm, lda)
+# ---------------------------------------------------------------------------
+def _assert_pytree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_irm_roundtrip_and_resume(tmp_path):
+    from common_tpu import relational as irm
+    from common_tpu.data.sparse import sparse_ndarray_dataview
+
+    r = np.random.default_rng(3)
+    n = 6
+    rel = (r.random((n, n)) < 0.4).astype(np.float32)
+    defn = irm.model_definition([n], [((0, 0), models.bb)], k_max=4)
+    views = [sparse_ndarray_dataview(dense=rel)]
+    s = irm.initialize(defn, views, jax.random.key(0),
+                       cluster_hps=[{"alpha": 1.1}])
+    views_t = irm.as_views(views)
+    key = jax.random.key(4)
+
+    def sweeps(s, t0, nsweeps):
+        for t in range(t0, t0 + nsweeps):
+            s = irm.kernels._assign_jit(s, views_t, jax.random.fold_in(key, t), 0)
+        return s
+
+    blob = ctio.serialize(sweeps(s, 0, 3), extra={"iter": jnp.asarray(3)})
+    restored, extra = ctio.deserialize(blob)
+    assert isinstance(restored, irm.IRMState)
+    assert restored.lik_names == s.lik_names
+    assert restored.rel_domains == s.rel_domains
+    resumed = sweeps(restored, int(extra["iter"]), 3)
+    straight = sweeps(s, 0, 6)
+    _assert_pytree_equal(straight, resumed)
+
+
+def test_checkpoint_hdp_roundtrip_and_resume(tmp_path):
+    from common_tpu import topic
+    from common_tpu.data.variadic import variadic_dataview
+
+    rows = [np.array([0, 1, 2, 0]), np.array([2, 2, 1]), np.array([0, 0])]
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    s = topic.initialize(view, 3, 3, jax.random.key(0), alpha=0.7)
+    key = jax.random.key(5)
+
+    def sweeps(s, t0, nsweeps):
+        for t in range(t0, t0 + nsweeps):
+            s = topic.collapsed_sweep(s, data, jax.random.fold_in(key, t))
+        return s
+
+    path = str(tmp_path / "hdp.npz")
+    ctio.save(path, sweeps(s, 0, 2), extra={"iter": jnp.asarray(2)})
+    restored, extra = ctio.load(path)
+    assert isinstance(restored, topic.HDPState)
+    resumed = sweeps(restored, int(extra["iter"]), 2)
+    straight = sweeps(s, 0, 4)
+    _assert_pytree_equal(straight, resumed)
+
+
+def test_checkpoint_svi_roundtrip():
+    from common_tpu.kernels import svi
+
+    defn, data = _problem(seed=4)
+    post = svi.init(defn, data, jax.random.key(2), cluster_hp={"alpha": 1.0})
+    post, _ = svi.fit_cavi(post, data, 3)
+    blob = ctio.serialize(post)
+    restored, _ = ctio.deserialize(blob)
+    assert isinstance(restored, svi.SVIPosterior)
+    assert restored.lik_names == post.lik_names
+    assert restored.fixed == post.fixed
+    _assert_pytree_equal(post, restored)
+    # restored posterior must produce the identical ELBO
+    np.testing.assert_allclose(
+        float(svi.elbo(post, data)), float(svi.elbo(restored, data)), rtol=1e-6
+    )
+
+
+def test_checkpoint_smc_particles_roundtrip_and_resume():
+    from common_tpu.kernels import smc
+
+    defn, data = _problem(n=8, seed=5)
+    particles = smc.init_particles(defn, data, jax.random.key(1), 6,
+                                   cluster_hp={"alpha": 1.0})
+    key = jax.random.key(6)
+    blob = ctio.serialize(particles, extra={"key": key})
+    restored, extra = ctio.deserialize(blob)
+    _assert_pytree_equal(particles, restored)
+    # an SMC run from the restored particle set with the restored key is
+    # identical to the original run
+    r1 = smc.run(particles, data, key)
+    r2 = smc.run(restored, data, extra["key"])
+    _assert_pytree_equal(r1.particles, r2.particles)
+    np.testing.assert_array_equal(np.asarray(r1.log_w), np.asarray(r2.log_w))

@@ -238,3 +238,81 @@ def test_masked_rows_excluded_from_stats():
     np.testing.assert_allclose(float(s.stats[1]["n"][1]), 3.0)
     # cluster counts unaffected by per-feature masks
     np.testing.assert_array_equal(np.asarray(s.counts)[:3], [2, 3, 1])
+
+
+# ---------------------------------------------------------------------------
+# K_max overflow policy (SURVEY.md §7 hard parts; VERDICT.md item 4)
+# ---------------------------------------------------------------------------
+def test_saturation_detection_and_repad():
+    import dataclasses
+
+    import pytest as _pytest
+
+    r = np.random.default_rng(11)
+    n, k_small = 8, 3
+    defn = st.model_definition(n, [models.bb], k_max=k_small)
+    data = ((jnp.asarray(r.integers(0, 2, size=n)), jnp.ones(n)),)
+    # force all slots occupied
+    z = jnp.asarray(np.arange(n) % k_small, jnp.int32)
+    s = st.initialize(defn, data, jax.random.key(0),
+                      cluster_hp={"alpha": 1.0}, assignment=z)
+    assert bool(st.is_saturated(s))
+
+    s2 = st.repad(s, 8)
+    assert s2.k_max == 8
+    assert not bool(st.is_saturated(s2))
+    # counts preserved + zero-padded; suffstats zero in new slots
+    np.testing.assert_array_equal(np.asarray(s2.counts[:k_small]),
+                                  np.asarray(s.counts))
+    assert int(jnp.sum(s2.counts[k_small:])) == 0
+    for leaf in jax.tree_util.tree_leaves(s2.stats):
+        np.testing.assert_allclose(np.asarray(leaf[k_small:]), 0.0)
+    # scores agree: the padded state describes the same partition + data
+    np.testing.assert_allclose(
+        float(st.score_joint(s)), float(st.score_joint(s2)), rtol=1e-6
+    )
+    # repadded state can open a new cluster (log-alpha on first empty slot)
+    scores = st.crp_prior_scores(s2)
+    assert np.isfinite(float(scores[k_small]))
+    # and kernels run on it
+    from common_tpu.kernels import gibbs
+
+    s3 = gibbs.assign(s2, data, jax.random.key(1))
+    assert int(jnp.sum(s3.counts)) == n
+
+    with _pytest.raises(ValueError):
+        st.repad(s, 2)
+    defn_f = st.model_definition(n, [models.bb], k_max=k_small)
+    sf = st.initialize(defn_f, data, jax.random.key(0), fixed=True,
+                       assignment=z)
+    assert not bool(st.is_saturated(sf))
+    with _pytest.raises(ValueError):
+        st.repad(sf, 8)
+
+
+def test_runner_saturation_warning_and_jsonl(tmp_path):
+    import json as _json
+    import warnings as _warnings
+
+    from common_tpu.runner import runner
+
+    r = np.random.default_rng(12)
+    n, k_small = 9, 3
+    defn = st.model_definition(n, [models.bb], k_max=k_small)
+    data = ((jnp.asarray(r.integers(0, 2, size=n)), jnp.ones(n)),)
+    z = jnp.asarray(np.arange(n) % k_small, jnp.int32)
+    s = st.initialize(defn, data, jax.random.key(0),
+                      cluster_hp={"alpha": 0.01}, assignment=z)
+    path = str(tmp_path / "sweeps.jsonl")
+    run = runner(defn, data, s, ["assign"], jsonl_path=path)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        run.run(jax.random.key(1), 5)
+    # low alpha keeps all 3 slots full -> saturation warning fires
+    assert any("cluster slots are occupied" in str(x.message) for x in w) or \
+        not bool(st.is_saturated(run.get_latent()))
+    lines = [_json.loads(l) for l in open(path)]
+    assert len(lines) == 5
+    assert {"sweep", "score_joint", "k_active", "occupancy", "ess"} <= set(lines[0])
+    assert lines[-1]["ess"] is not None
+    assert sum(lines[0]["occupancy"]) == n
