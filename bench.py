@@ -45,6 +45,13 @@ import os
 import sys
 import time
 
+# before any jax import: virtual CPU devices for the --efficiency mode's
+# scaling ladder (harmless otherwise — TPU device discovery is unaffected)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
 
 def make_data_device(key, n, d, n_true=8):
     """Synthesize a Gaussian-mixture row block on the device (jitted)."""
@@ -58,8 +65,11 @@ def make_data_device(key, n, d, n_true=8):
     return x
 
 
-def build_tier_fn(n, d, k_max, sweeps):
-    """Compiled (datagen → init → S blocked sweeps + score trace) programs."""
+def build_tier_fn(n, d, k_max, sweeps, kernel="blocked"):
+    """Compiled (datagen → init → S sweeps + score trace) programs.
+
+    kernel: "blocked" (XLA path) or "fused" (Pallas score+Gumbel+argmax
+    kernel — the [N, K] table never touches HBM)."""
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +101,11 @@ def build_tier_fn(n, d, k_max, sweeps):
         data = ((x, jnp.ones(n, jnp.float32)),)
 
         def body(state, t):
-            state = blocked.sweep(state, data, jax.random.fold_in(key, t))
+            kt = jax.random.fold_in(key, t)
+            if kernel == "fused":
+                state = blocked.sweep_fused(state, data, kt)
+            else:
+                state = blocked.sweep(state, data, kt)
             return state, st.score_joint(state)
 
         s, trace = jax.lax.scan(body, s, jnp.arange(sweeps))
@@ -100,14 +114,14 @@ def build_tier_fn(n, d, k_max, sweeps):
     return jax.jit(setup), jax.jit(run)
 
 
-def run_tier(n, d, k_max, sweeps, key):
+def run_tier(n, d, k_max, sweeps, key, kernel="blocked"):
     """Returns a dict of tier measurements (raises on failure/OOM)."""
     import jax
     import numpy as np
 
     from common_tpu.utils import diagnostics
 
-    setup, run = build_tier_fn(n, d, k_max, sweeps)
+    setup, run = build_tier_fn(n, d, k_max, sweeps, kernel)
 
     t0 = time.perf_counter()
     x, s = setup(key)
@@ -141,6 +155,7 @@ def run_tier(n, d, k_max, sweeps, key):
         "n": n,
         "d": d,
         "k_max": k_max,
+        "kernel": kernel,
         "sweeps": sweeps,
         "sweeps_per_s": sweeps / dt,
         "run_s": dt,
@@ -233,6 +248,64 @@ def numpy_collapsed_rows_per_s(d, k_active, budget_s=4.0, seed=0):
     return rows_done / (time.perf_counter() - t0)
 
 
+def run_smc_tier(n, d, k_max, n_particles, key):
+    """Config-5 feasibility: SMC rows/s at scale (one compiled scan).
+
+    Sequential imputation is inherently O(N) device steps; this measures
+    the per-row cost with P particles vmapped per step and reports rows/s
+    + an extrapolated 1M-row wall time.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from common_tpu import models
+    from common_tpu import state as st
+    from common_tpu.kernels import smc
+
+    defn = st.model_definition(n, [models.niw(d)], k_max=k_max)
+    hyper = {
+        "mu0": jnp.zeros(d, jnp.float32),
+        "kappa": 1.0,
+        "psi": jnp.eye(d, dtype=jnp.float32),
+        "nu": float(d + 2),
+    }
+    x = make_data_device(jax.random.fold_in(key, 0), n, d)
+    data = ((x, jnp.ones(n, jnp.float32)),)
+    parts = smc.init_particles(
+        defn, data, jax.random.fold_in(key, 1), n_particles,
+        cluster_hp={"alpha": 1.0}, feature_hps=[hyper],
+    )
+
+    t0 = time.perf_counter()
+    run_c = (
+        smc.run.lower(parts, data, jax.random.fold_in(key, 2))
+        .compile()
+    )
+    compile_s = time.perf_counter() - t0
+
+    res = run_c(parts, data, jax.random.fold_in(key, 2))
+    np.asarray(res.logz)  # warm-up + fence
+    t0 = time.perf_counter()
+    res = run_c(parts, data, jax.random.fold_in(key, 2))
+    logz = float(np.asarray(res.logz))
+    dt = time.perf_counter() - t0
+
+    rows_per_s = n / dt
+    return {
+        "n": n,
+        "d": d,
+        "k_max": k_max,
+        "particles": n_particles,
+        "rows_per_s": round(rows_per_s, 1),
+        "run_s": round(dt, 3),
+        "compile_s": round(compile_s, 1),
+        "logz": logz,
+        "n_resamples": int(np.asarray(res.n_resamples)),
+        "extrapolated_1m_rows_s": round(1e6 / rows_per_s, 1),
+    }
+
+
 # (n, d, k_max, sweeps) — smallest first; last is the BASELINE.md headline.
 LADDER = [
     (20_000, 16, 16, 10),
@@ -249,6 +322,17 @@ def main():
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 360.0)))
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--smc", action="store_true",
+        help="also measure SMC sequential-imputation rows/s at 50k rows "
+        "(config-5 feasibility; adds ~2 min)",
+    )
+    ap.add_argument(
+        "--efficiency", action="store_true",
+        help="also measure data-shard scaling efficiency at 1/2/4/8 shards "
+        "on the virtual CPU mesh (plumbing/overhead check on 1-chip boxes; "
+        "the real north-star number needs a pod)",
+    )
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--d", type=int, default=None)
     ap.add_argument("--k", type=int, default=None)
@@ -303,6 +387,48 @@ def main():
 
     top = tiers[-1]
 
+    # fused-kernel comparison at the top completed tier (Pallas score+
+    # Gumbel+argmax vs the XLA blocked path) if the budget still allows
+    fused = None
+    remaining = deadline - time.monotonic() - baseline_reserve_s
+    est_fused = top["run_s"] * 1.5 + 1.6 * last_compile
+    if not args.smoke and remaining > est_fused:
+        try:
+            fused = run_tier(
+                top["n"], top["d"], top["k_max"], top["sweeps"],
+                jax.random.key(99), kernel="fused",
+            )
+        except Exception as e:
+            print(f"# fused tier failed: {e!r}", file=sys.stderr)
+    if fused is not None and fused["sweeps_per_s"] > top["sweeps_per_s"]:
+        tiers.append(fused)
+        top = fused
+
+    smc_tier = None
+    if args.smc:
+        try:
+            smc_tier = run_smc_tier(50_000, 8, 32, 128, jax.random.key(5))
+        except Exception as e:
+            print(f"# smc tier failed: {e!r}", file=sys.stderr)
+
+    efficiency = None
+    if args.efficiency:
+        try:
+            from common_tpu.parallel import measure_row_scaling
+
+            cpus = jax.devices("cpu")
+            with jax.default_device(cpus[0]):
+                efficiency = measure_row_scaling(
+                    n=65536, d=16, k_max=16, sweeps=6,
+                    shard_counts=(1, 2, 4, 8), devices=cpus,
+                )
+            efficiency["note"] = (
+                "virtual CPU mesh: collective/plumbing overhead check, "
+                "not a multi-chip hardware claim"
+            )
+        except Exception as e:
+            print(f"# efficiency measurement failed: {e!r}", file=sys.stderr)
+
     vs = None
     base_sweeps_per_s = None
     if not args.skip_baseline:
@@ -320,7 +446,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"blocked Gibbs sweeps/s, {top['n']}x{top['d']} "
+                    f"{top['kernel']} Gibbs sweeps/s, {top['n']}x{top['d']} "
                     f"DPMM-NIW K_max={top['k_max']}"
                 ),
                 "value": round(top["sweeps_per_s"], 4),
@@ -339,6 +465,9 @@ def main():
                 "device": str(jax.devices()[0]),
                 "k_active": top["k_active"],
                 "budget_s": args.budget_s,
+                "fused_tier": fused,
+                "smc": smc_tier,
+                "efficiency": efficiency,
                 "tiers": tiers,
             }
         )

@@ -114,6 +114,28 @@ def _stack_grid(grid: Sequence[Dict[str, Any]]):
     )
 
 
+def _hp_impl(state: MixtureState, grids, key, fids, priors) -> MixtureState:
+    liks = state.likelihoods()
+    active = state.counts > 0
+    new_hypers = list(state.hypers)
+    for i, (fid, prior_fn, grid) in enumerate(zip(fids, priors, grids)):
+        lik = liks[fid]
+
+        def score_one(h, lik=lik, prior_fn=prior_fn, fid=fid):
+            ml = lik.marginal_loglik(h, state.stats[fid])
+            return prior_fn(h) + jnp.sum(jnp.where(active, ml, 0.0))
+
+        logps = jax.vmap(score_one)(grid)
+        kf = jax.random.fold_in(key, i)
+        g = jax.random.gumbel(kf, logps.shape, logps.dtype)
+        pick = jnp.argmax(logps + g)
+        new_hypers[fid] = jax.tree_util.tree_map(lambda l: l[pick], grid)
+    return dataclasses.replace(state, hypers=tuple(new_hypers))
+
+
+_HP_JIT_CACHE: Dict[Any, Callable] = {}
+
+
 def hp(
     state: MixtureState,
     specs: Dict[int, Dict[str, Any]],
@@ -128,26 +150,20 @@ def hp(
     the new hyper from the normalized grid posterior.
 
     The reference loops set_hp/score_likelihood per grid point; here the
-    grid axis is vmapped so all points are scored in one batched pass.
+    grid axis is vmapped so all points are scored in one batched pass, and
+    the whole multi-feature update runs as ONE jitted program (cached per
+    (fids, prior-fn identities); grid *values* are traced arguments, so
+    regenerating a grid with the same shape does not recompile).
     """
-    liks = state.likelihoods()
-    active = state.counts > 0
-    new_hypers = list(state.hypers)
-    for i, (fid, spec) in enumerate(sorted(specs.items())):
-        lik = liks[fid]
-        grid = _stack_grid(list(spec["grid"]))
-        prior_fn: Callable = spec["prior"]
-
-        def score_one(h):
-            ml = lik.marginal_loglik(h, state.stats[fid])
-            return prior_fn(h) + jnp.sum(jnp.where(active, ml, 0.0))
-
-        logps = jax.vmap(score_one)(grid)
-        kf = jax.random.fold_in(key, i)
-        g = jax.random.gumbel(kf, logps.shape, logps.dtype)
-        pick = jnp.argmax(logps + g)
-        new_hypers[fid] = jax.tree_util.tree_map(lambda l: l[pick], grid)
-    return dataclasses.replace(state, hypers=tuple(new_hypers))
+    fids = tuple(sorted(specs))
+    priors = tuple(specs[f]["prior"] for f in fids)
+    grids = tuple(_stack_grid(list(specs[f]["grid"])) for f in fids)
+    sig = (fids, priors)
+    fn = _HP_JIT_CACHE.get(sig)
+    if fn is None:
+        fn = jax.jit(partial(_hp_impl, fids=fids, priors=priors))
+        _HP_JIT_CACHE[sig] = fn
+    return fn(state, grids, key)
 
 
 @jax.jit
@@ -206,6 +222,17 @@ def cluster_hp_escobar_west(
     )
 
 
+def _cluster_hp_impl(state: MixtureState, grid, key, prior_fn) -> MixtureState:
+    def score_one(alpha):
+        st = dataclasses.replace(state, cluster_hp={"alpha": alpha})
+        return prior_fn(alpha) + state_mod.score_assignment(st)
+
+    logps = jax.vmap(score_one)(grid)
+    g = jax.random.gumbel(key, logps.shape, logps.dtype)
+    pick = jnp.argmax(logps + g)
+    return dataclasses.replace(state, cluster_hp={"alpha": grid[pick]})
+
+
 def cluster_hp(
     state: MixtureState,
     prior_fn: Callable,
@@ -215,15 +242,13 @@ def cluster_hp(
     """Grid Gibbs over the CRP concentration α (cluster-hp kernel).
 
     grid: [G] array of α values; prior_fn(α)->logp.  Scores each grid point
-    by prior + EPPF of the current partition.
+    by prior + EPPF of the current partition.  One jitted program, cached
+    per prior-fn identity (grid values are traced).
     """
     grid = jnp.asarray(grid)
-
-    def score_one(alpha):
-        st = dataclasses.replace(state, cluster_hp={"alpha": alpha})
-        return prior_fn(alpha) + state_mod.score_assignment(st)
-
-    logps = jax.vmap(score_one)(grid)
-    g = jax.random.gumbel(key, logps.shape, logps.dtype)
-    pick = jnp.argmax(logps + g)
-    return dataclasses.replace(state, cluster_hp={"alpha": grid[pick]})
+    sig = ("cluster_hp", prior_fn)
+    fn = _HP_JIT_CACHE.get(sig)
+    if fn is None:
+        fn = jax.jit(partial(_cluster_hp_impl, prior_fn=prior_fn))
+        _HP_JIT_CACHE[sig] = fn
+    return fn(state, grid, key)

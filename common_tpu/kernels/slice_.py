@@ -85,12 +85,14 @@ def slice_sample(key, x0, logf: Callable, w=1.0, lower=-jnp.inf, upper=jnp.inf):
     return jnp.where(done, x1, x0)
 
 
+@partial(jax.jit, static_argnames=("w",))
 def theta(state: MixtureState, key, w: float = 0.5) -> MixtureState:
     """Slice-resample explicit per-cluster latents (slice.theta).
 
     For each non-conjugate feature, each latent leaf is updated slot-wise
     against the feature's `posterior_logpdf_unnorm` conditional; empty
-    slots get fresh prior draws via refresh_latents.
+    slots get fresh prior draws via refresh_latents.  Jitted end-to-end
+    (w is a static compile-time width).
     """
     new_stats = []
     for f, (lik, hyper, stats_f) in enumerate(
@@ -133,6 +135,20 @@ def theta(state: MixtureState, key, w: float = 0.5) -> MixtureState:
     return dataclasses.replace(state, stats=tuple(new_stats))
 
 
+def _freeze_spec(obj):
+    """Hashable signature of a nested spec dict (fns by identity)."""
+    if isinstance(obj, dict):
+        return tuple((k, _freeze_spec(v)) for k, v in sorted(obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze_spec(v) for v in obj)
+    if callable(obj):
+        return id(obj)
+    return obj
+
+
+_SLICE_HP_CACHE: Dict[Any, Callable] = {}
+
+
 def hp(
     state: MixtureState,
     data,
@@ -145,9 +161,24 @@ def hp(
     specs: {fid: {param: {'prior': logp fn, 'w': width, 'bounds': (lo,hi)}}}
     — scalar hyperparameters only (the reference's slice.hp surface).
     cluster: optional {'prior': fn, 'w': float, 'bounds': (lo,hi)} for the
-    CRP concentration α.
+    CRP concentration α.  The whole multi-parameter update runs as ONE
+    jitted program, cached per spec structure (fn identities + widths).
     """
     del data  # scoring uses suffstats only
+    sig = (_freeze_spec(specs), _freeze_spec(cluster))
+    fn = _SLICE_HP_CACHE.get(sig)
+    if fn is None:
+        fn = jax.jit(partial(_hp_impl, specs=specs, cluster=cluster))
+        _SLICE_HP_CACHE[sig] = fn
+    return fn(state, key)
+
+
+def _hp_impl(
+    state: MixtureState,
+    key,
+    specs: Dict[int, Dict[str, Dict[str, Any]]],
+    cluster: Dict[str, Any] | None = None,
+) -> MixtureState:
     active = state.counts > 0
     liks = state.likelihoods()
     new_hypers = list(state.hypers)

@@ -157,13 +157,26 @@ class NIW(base.Likelihood):
             + kappa * _outer(mu0, mu0)
             - kappa_n[..., None, None] * _outer(mu_n, mu_n)
         )
+        # Harden against f32 incremental add/remove drift (SURVEY.md §7
+        # "NIW numerics"): long downdate chains can leave sum_xxT slightly
+        # asymmetric and psi_n indefinite, which poisons Cholesky/slogdet.
+        # Symmetrize exactly and add a relative diagonal jitter (~1e-6 of
+        # the mean diagonal — below f32 accumulation noise at any scale).
+        # Jitter is gated on n > 0: empty slots hold exact zeros (no drift)
+        # and must keep scoring exactly 0 under marginal_loglik.
+        d = psi_n.shape[-1]
+        psi_n = 0.5 * (psi_n + jnp.swapaxes(psi_n, -1, -2))
+        mean_diag = jnp.trace(psi_n, axis1=-2, axis2=-1) / d
+        jitter = 1e-6 * mean_diag * (n > 0)
+        psi_n = psi_n + jitter[..., None, None] * jnp.eye(
+            d, dtype=psi_n.dtype
+        )
         return {"mu0": mu_n, "kappa": kappa_n, "psi": psi_n, "nu": nu_n}
 
     def marginal_loglik(self, hyper, stats):
         d = hyper["mu0"].shape[-1]
-        post = self.posterior_hyper(hyper, stats)
+        post = self.posterior_hyper(hyper, stats)  # symmetrized + jittered
         n = stats["n"]
-        # symmetrize + jitter against f32 downdate drift before Cholesky
         logdet_psi = jnp.linalg.slogdet(hyper["psi"])[1]
         logdet_psi_n = jnp.linalg.slogdet(post["psi"])[1]
         return (

@@ -13,3 +13,4 @@ from common_tpu.parallel.sharded import (  # noqa: F401
     initialize_chains,
     make_sharded_sweep,
 )
+from common_tpu.parallel.scaling import measure_row_scaling  # noqa: F401

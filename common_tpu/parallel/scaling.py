@@ -1,0 +1,117 @@
+"""Scaling-efficiency measurement harness (BASELINE.md north star:
+>= 0.8 sweeps/s efficiency from 1 chip to N).
+
+`measure_row_scaling` times the data-sharded blocked-Gibbs sweep at a
+ladder of shard counts on an explicit device list and reports
+
+  throughput[s]  sweeps/s with the row axis sharded s ways
+  efficiency     (throughput[max] / throughput[min]) / (max/min)
+
+On real multi-chip hardware this is the north-star measurement; on the
+virtual 8-device CPU mesh (tests, single-chip boxes) the devices share
+physical cores, so the number is a *plumbing + collective-overhead* check,
+not a hardware claim — bench.py labels it accordingly.
+
+Each timing compiles the sweep for that mesh once (excluded), then runs
+`sweeps` sweeps inside one `lax.scan` dispatch and fetches a small output
+to fence execution.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from common_tpu import models
+from common_tpu import state as state_mod
+from common_tpu import validator
+from common_tpu.parallel import mesh as mesh_mod
+from common_tpu.parallel import sharded
+
+
+def _make_problem(n, d, k_max, key):
+    defn = state_mod.model_definition(n, [models.niw(d)], k_max=k_max)
+    kc, kz, kn = jax.random.split(key, 3)
+    centers = 4.0 * jax.random.normal(kc, (8, d), jnp.float32)
+    z = jax.random.randint(kz, (n,), 0, 8)
+    x = centers[z] + jax.random.normal(kn, (n, d), jnp.float32)
+    data = ((x, jnp.ones(n, jnp.float32)),)
+    return defn, data
+
+
+def _time_sharded_sweeps(mesh, defn, data, sweeps, key) -> float:
+    """Compile a `sweeps`-sweep scan for this mesh, return wall seconds."""
+    state = sharded.initialize_chains(
+        defn, data, jax.random.split(key, 1), cluster_hp={"alpha": 1.0}
+    )
+    state, sdata = mesh_mod.shard_state(mesh, state, data)
+    sweep = sharded.make_sharded_sweep(mesh, state, sdata)
+
+    @jax.jit
+    def run(state, key):
+        def body(st, t):
+            return sweep(st, sdata, jax.random.fold_in(key, t)), None
+
+        return jax.lax.scan(body, state, jnp.arange(sweeps))[0]
+
+    # compile + one warm-up execution (buffer/layout costs)
+    out = run(state, key)
+    np.asarray(out.counts)
+
+    t0 = time.perf_counter()
+    out = run(state, key)
+    np.asarray(out.counts)  # host fetch fences execution (axon caveat)
+    return time.perf_counter() - t0
+
+
+def measure_row_scaling(
+    n: int = 65536,
+    d: int = 16,
+    k_max: int = 16,
+    sweeps: int = 8,
+    shard_counts: Sequence[int] = (1, 2, 4, 8),
+    devices: Optional[Sequence] = None,
+    seed: int = 0,
+) -> Dict:
+    """Sweeps/s of the data-sharded blocked sweep at each shard count.
+
+    Returns {"throughput": {s: sweeps_per_s}, "efficiency": float,
+    "shard_counts": [...], "n": n, "d": d, "k_max": k_max}.
+    Rows must divide evenly into every shard count (n is rounded up).
+    """
+    validator.validate_nonempty(shard_counts, "shard_counts")
+    if devices is None:
+        devices = jax.devices()
+    shard_counts = sorted(int(s) for s in shard_counts)
+    if len(devices) < shard_counts[-1]:
+        raise ValueError(
+            f"need {shard_counts[-1]} devices, have {len(devices)}"
+        )
+    lcm = int(np.lcm.reduce(shard_counts))
+    n = -(-n // lcm) * lcm
+
+    defn, data = _make_problem(n, d, k_max, jax.random.key(seed))
+    throughput = {}
+    for s in shard_counts:
+        mesh = mesh_mod.make_mesh(chains=1, data=s, devices=devices[:s])
+        dt = _time_sharded_sweeps(
+            mesh, defn, data, sweeps, jax.random.key(seed + 1)
+        )
+        throughput[s] = sweeps / dt
+
+    lo, hi = shard_counts[0], shard_counts[-1]
+    efficiency = (throughput[hi] / throughput[lo]) / (hi / lo)
+    return {
+        "throughput": {s: round(v, 4) for s, v in throughput.items()},
+        "efficiency": round(float(efficiency), 4),
+        "shard_counts": shard_counts,
+        "n": n,
+        "d": d,
+        "k_max": k_max,
+        "sweeps": sweeps,
+    }

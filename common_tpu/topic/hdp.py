@@ -227,6 +227,10 @@ def _sample_beta_jit(state: HDPState, key, max_count: int) -> HDPState:
     m_k = jnp.sum(m_dk, axis=0).astype(jnp.float32)
     conc = jnp.concatenate([m_k + 1e-8, gamma[None]])
     beta = jax.random.dirichlet(kb, conc)
+    # unused topics draw conc ~1e-8 and can underflow to exactly 0, which
+    # poisons score_joint (gammaln(alpha*0) = inf); floor + renormalize
+    beta = jnp.clip(beta, 1e-12)
+    beta = beta / jnp.sum(beta)
     return dataclasses.replace(state, beta=beta)
 
 
@@ -240,6 +244,97 @@ def sample_beta(state: HDPState, key, max_count: Optional[int] = None):
     if max_count is None:
         max_count = max(int(jnp.max(state.doc_topic)), 1)
     return _sample_beta_jit(state, key, max_count)
+
+
+# ---------------------------------------------------------------------------
+# concentration resampling (alpha, gamma) — Teh et al. 2006 §6 / appendix A
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("max_count",))
+def _sample_concentrations_jit(
+    state: HDPState,
+    key,
+    max_count: int,
+    a_alpha: float,
+    b_alpha: float,
+    a_gamma: float,
+    b_gamma: float,
+) -> HDPState:
+    K = state.n_topics
+    alpha = state.hypers["alpha"].astype(jnp.float32)
+    gamma = state.hypers["gamma"].astype(jnp.float32)
+    km, kw, ks, ka, ke, kp, kg, kb = jax.random.split(key, 8)
+
+    # shared table counts: m_dk ~ CRT(n_dk, alpha*beta_k) — drawn once and
+    # reused by alpha, gamma, AND the beta redraw (the §5.3 joint move).
+    ab = alpha * state.beta[:K]
+    m_dk = crt_sample(km, state.doc_topic, ab[None, :], max_count)
+    m_k = jnp.sum(m_dk, axis=0).astype(jnp.float32)
+    m_tot = jnp.sum(m_k)
+
+    # --- alpha | m, n  (auxiliary-variable Gibbs, Teh appendix A) ---------
+    # p(alpha | m··, n_1..D) ∝ Gamma(alpha; a, b) alpha^{m··}
+    #                          Π_d Γ(alpha) / Γ(alpha + n_d)
+    # w_d ~ Beta(alpha+1, n_d);  s_d ~ Bernoulli(n_d / (n_d + alpha));
+    # alpha ~ Gamma(a + m·· − Σ s_d,  b − Σ log w_d).
+    n_d = jnp.sum(state.doc_topic, axis=-1)          # [D] tokens per doc
+    has = n_d > 0                                     # empty/pad docs drop out
+    n_safe = jnp.maximum(n_d, 1.0)
+    w = jax.random.beta(kw, alpha + 1.0, n_safe)
+    s = jax.random.bernoulli(ks, n_d / (n_d + alpha))
+    sum_log_w = jnp.sum(jnp.where(has, jnp.log(jnp.clip(w, 1e-30)), 0.0))
+    sum_s = jnp.sum(jnp.where(has, s, False).astype(jnp.float32))
+    new_alpha = jax.random.gamma(ka, a_alpha + m_tot - sum_s) / (
+        b_alpha - sum_log_w
+    )
+
+    # --- gamma | m  (Escobar–West 1995 on the top-level restaurant: -------
+    # m·· customers seated at K⁺ "dishes")
+    kplus = jnp.maximum(jnp.sum(m_k > 0).astype(jnp.float32), 1.0)
+    m_safe = jnp.maximum(m_tot, 1.0)
+    eta = jax.random.beta(ke, gamma + 1.0, m_safe)
+    log_eta = jnp.log(jnp.clip(eta, 1e-30))
+    odds = (a_gamma + kplus - 1.0) / (m_safe * (b_gamma - log_eta))
+    pick_high = jax.random.uniform(kp) < odds / (1.0 + odds)
+    shape = jnp.where(pick_high, a_gamma + kplus, a_gamma + kplus - 1.0)
+    new_gamma = jax.random.gamma(kg, shape) / (b_gamma - log_eta)
+
+    # --- beta | m, gamma ---------------------------------------------------
+    beta = jax.random.dirichlet(
+        kb, jnp.concatenate([m_k + 1e-8, new_gamma[None]])
+    )
+    beta = jnp.clip(beta, 1e-12)  # see _sample_beta_jit: 0 poisons score_joint
+    beta = beta / jnp.sum(beta)
+    hypers = dict(state.hypers)
+    hypers["alpha"] = new_alpha.astype(state.hypers["alpha"].dtype)
+    hypers["gamma"] = new_gamma.astype(state.hypers["gamma"].dtype)
+    return dataclasses.replace(state, beta=beta, hypers=hypers)
+
+
+def sample_concentrations(
+    state: HDPState,
+    key,
+    max_count: Optional[int] = None,
+    a_alpha: float = 1.0,
+    b_alpha: float = 1.0,
+    a_gamma: float = 1.0,
+    b_gamma: float = 1.0,
+) -> HDPState:
+    """Resample (alpha, gamma, beta) | z under Gamma(a, b) hyperpriors.
+
+    The reference lda repo holds concentrations fixed per run but Teh et
+    al. 2006's scheme (which it implements the state machinery for)
+    resamples them; this is the TPU-native version: one CRT draw of the
+    table counts m_dk feeds (i) the auxiliary-variable alpha move over
+    docs, (ii) an Escobar–West gamma move over the top-level restaurant
+    (m·· customers, K⁺ dishes), and (iii) the Dirichlet beta redraw —
+    all fused in a single jitted program.
+    """
+    if max_count is None:
+        max_count = max(int(jnp.max(state.doc_topic)), 1)
+    return _sample_concentrations_jit(
+        state, key, max_count,
+        float(a_alpha), float(b_alpha), float(a_gamma), float(b_gamma),
+    )
 
 
 # ---------------------------------------------------------------------------

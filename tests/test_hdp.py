@@ -87,6 +87,7 @@ def test_collapsed_matches_z_enumeration():
     )
 
 
+@pytest.mark.slow
 def test_crt_matches_stirling_pmf():
     """CRT(5, a): P(m) = |s(5,m)| a^m / (a)_5 — exact Stirling pmf."""
     n, a = 5, 1.3
@@ -214,3 +215,137 @@ def test_sharded_sweep_matches_invariants(cpu_devices):
         ppl = float(topic.perplexity(sstate, sdata))
         state2 = topic.initialize(view, 8, V, jax.random.key(9), eta=0.1)
         assert ppl < 0.8 * float(topic.perplexity(state2, sdata))
+
+
+def test_concentration_resampling_matches_quadrature():
+    """alpha and gamma Gibbs moves vs quadrature on a state where the CRT
+    table counts are deterministic (every doc-topic count is 0 or 1, so
+    m_dk == doc_topic exactly and the conditionals have closed forms)."""
+    import dataclasses
+
+    from scipy.special import gammaln as sgammaln
+
+    D, K, V = 8, 6, 5
+    a, b = 1.5, 0.5
+    # each doc uses exactly 3 distinct topics once; every topic is used
+    dt = np.zeros((D, K), np.float32)
+    for d in range(D):
+        dt[d, [d % K, (d + 1) % K, (d + 2) % K]] = 1.0
+    n_d = 3.0
+    m_tot = float(dt.sum())      # 24 tables
+    kplus = K                    # all topics hold tables
+
+    state = topic.HDPState(
+        z=jnp.zeros(int(m_tot), jnp.int32),
+        beta=jnp.full(K + 1, 1.0 / (K + 1)),
+        doc_topic=jnp.asarray(dt),
+        topic_word=jnp.zeros((K, V)),
+        topic_total=jnp.asarray(dt.sum(0)),
+        hypers={"alpha": jnp.asarray(1.0), "gamma": jnp.asarray(1.0),
+                "eta": jnp.asarray(0.1)},
+    )
+
+    @jax.jit
+    def chain(s, key):
+        def body(st, k):
+            st = topic.hdp._sample_concentrations_jit(
+                st, k, 1, a, b, a, b
+            )
+            return st, (st.hypers["alpha"], st.hypers["gamma"])
+
+        return jax.lax.scan(body, s, jax.random.split(key, 8000))[1]
+
+    alphas, gammas = (np.asarray(t)[2000:] for t in chain(state, jax.random.key(1)))
+
+    grid = np.linspace(1e-3, 60, 60001)
+
+    # p(alpha | m··, n_d) ∝ Gamma(a,b) alpha^m·· Π_d Γ(alpha)/Γ(alpha+n_d)
+    logp_a = (
+        (a - 1) * np.log(grid) - b * grid
+        + m_tot * np.log(grid)
+        + D * (sgammaln(grid) - sgammaln(grid + n_d))
+    )
+    wa = np.exp(logp_a - logp_a.max()); wa /= wa.sum()
+    mean_a = float((grid * wa).sum())
+    var_a = float(((grid - mean_a) ** 2 * wa).sum())
+    assert abs(alphas.mean() - mean_a) < 0.25 * np.sqrt(var_a), (
+        alphas.mean(), mean_a,
+    )
+    assert abs(alphas.var() / var_a - 1.0) < 0.35, (alphas.var(), var_a)
+
+    # p(gamma | K+, m··) ∝ Gamma(a,b) gamma^K+ Γ(gamma)/Γ(gamma+m··)
+    logp_g = (
+        (a - 1) * np.log(grid) - b * grid
+        + kplus * np.log(grid)
+        + sgammaln(grid) - sgammaln(grid + m_tot)
+    )
+    wg = np.exp(logp_g - logp_g.max()); wg /= wg.sum()
+    mean_g = float((grid * wg).sum())
+    var_g = float(((grid - mean_g) ** 2 * wg).sum())
+    assert abs(gammas.mean() - mean_g) < 0.25 * np.sqrt(var_g), (
+        gammas.mean(), mean_g,
+    )
+    assert abs(gammas.var() / var_g - 1.0) < 0.35, (gammas.var(), var_g)
+
+
+@pytest.mark.slow
+def test_concentrations_in_inference_loop():
+    """End-to-end: concentration resampling inside a blocked-sweep loop
+    keeps hypers positive/finite and still recovers topic structure."""
+    rows, doc_topic, V = _synthetic_corpus(n_docs=60, doc_len=30, seed=3)
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    state = topic.initialize(view, 10, V, jax.random.key(0),
+                             alpha=1.0, gamma=1.0, eta=0.1)
+    ppl0 = float(topic.perplexity(state, data))
+    for i in range(50):
+        k = jax.random.fold_in(jax.random.key(5), i)
+        state = topic.blocked_sweep(state, data, jax.random.fold_in(k, 0))
+        state = topic.sample_concentrations(
+            state, jax.random.fold_in(k, 1), max_count=64
+        )
+    assert float(state.hypers["alpha"]) > 0
+    assert float(state.hypers["gamma"]) > 0
+    assert np.isfinite(float(topic.score_joint(state)))
+    assert float(topic.perplexity(state, data)) < 0.7 * ppl0
+
+
+def test_hdp_runner_integration():
+    """runner() drives HDPState through a kernel config (reference runner
+    parity for the lda repo), with JSONL observability."""
+    import json
+    import os
+    import tempfile
+
+    from common_tpu.runner import runner
+
+    rows, doc_topic, V = _synthetic_corpus(n_docs=40, doc_len=20, seed=5)
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    state = topic.initialize(view, 8, V, jax.random.key(0), eta=0.1)
+    ppl0 = float(topic.perplexity(state, data))
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "sweeps.jsonl")
+        r = runner(None, data, state,
+                   [("assign_blocked", {}), ("concentrations", {})],
+                   jsonl_path=path)
+        out = r.run(jax.random.key(1), 40)
+        lines = [json.loads(l) for l in open(path)]
+
+    assert len(lines) == 40
+    assert all(np.isfinite(l["score_joint"]) for l in lines)
+    assert float(topic.perplexity(out, data)) < 0.7 * ppl0
+    assert np.isfinite(r.score_trace).all()
+    assert r.assignment_trace.shape == (40, data.words.shape[0])
+    assert float(out.hypers["alpha"]) > 0
+
+
+def test_hdp_runner_rejects_unknown_kernel():
+    rows, _, V = _synthetic_corpus(n_docs=10, doc_len=10)
+    view = variadic_dataview(rows)
+    state = topic.initialize(view, 4, V, jax.random.key(0))
+    from common_tpu.runner import runner
+
+    with pytest.raises(ValueError):
+        runner(None, topic.token_data(view), state, [("grid_feature_hp", {})])

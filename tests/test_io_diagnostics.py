@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from common_tpu import io as ctio
 from common_tpu import models
@@ -168,6 +169,7 @@ def test_checkpoint_hdp_roundtrip_and_resume(tmp_path):
     _assert_pytree_equal(straight, resumed)
 
 
+@pytest.mark.slow
 def test_checkpoint_svi_roundtrip():
     from common_tpu.kernels import svi
 

@@ -49,6 +49,7 @@ def test_interpret_padding_roundtrip():
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_tpu_sampling_distribution():
     """Ambiguous rows: per-row assignment frequencies match softmax probs.
 
@@ -92,6 +93,7 @@ def _recovery_problem():
     return defn, data, zt
 
 
+@pytest.mark.slow
 def test_sweep_fused_interpret_invariants():
     """Interpreter covers the sweep plumbing (the stubbed PRNG freezes the
     Gumbel noise across sweeps, so mixing/recovery is TPU-only below)."""
@@ -107,6 +109,7 @@ def test_sweep_fused_interpret_invariants():
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_sweep_fused_tpu_recovers_clusters():
     defn, data, zt = _recovery_problem()
     tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
@@ -133,6 +136,7 @@ def test_sweep_fused_rejects_wrong_model():
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_tpu_compiled_matches_reference():
     X, mu, binv, base = _problem(n=4096, d=16, k=8)
     tpu = [d for d in jax.devices() if d.platform != "cpu"][0]

@@ -130,3 +130,19 @@ def test_sharded_blocked_matches_enumeration(cpu_devices):
     testutil.assert_discrete_dist_approx(
         sample_fn, exact, nsamples=6000, ntries=3, kl_tol=0.03
     )
+
+
+def test_scaling_efficiency_harness(cpu_devices):
+    """Measurement plumbing for the BASELINE.md >=0.8 efficiency north
+    star: throughputs at 1/2/4 shards are positive and the efficiency
+    ratio is well-formed (virtual CPU devices share cores, so no hardware
+    scaling assertion here — only that the harness measures)."""
+    with jax.default_device(cpu_devices[0]):
+        res = parallel.measure_row_scaling(
+            n=2048, d=4, k_max=8, sweeps=3,
+            shard_counts=(1, 2, 4), devices=cpu_devices,
+        )
+    assert res["shard_counts"] == [1, 2, 4]
+    assert all(v > 0 for v in res["throughput"].values()), res
+    assert 0 < res["efficiency"] < 100, res
+    assert res["n"] % 4 == 0

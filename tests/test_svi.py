@@ -157,6 +157,7 @@ def test_fixed_k_dirichlet_mode():
     assert int(hard.ngroups()) == 3
 
 
+@pytest.mark.slow
 def test_minibatch_svi_converges():
     defn, data, z = _gaussian_problem(n=5000, seed=4)
     # CAVI reference
