@@ -404,3 +404,64 @@ def score_likelihood(state: MixtureState, fid: Optional[int] = None):
 def score_joint(state: MixtureState):
     """log p(partition, data) — the enumeration oracle's target."""
     return score_assignment(state) + score_likelihood(state)
+
+
+# ---------------------------------------------------------------------------
+# generative surfaces (mixturemodel's sample / sample_post_pred)
+# ---------------------------------------------------------------------------
+def sample(
+    defn: MixtureDefinition,
+    key,
+    cluster_hp: Optional[Dict[str, Any]] = None,
+    feature_hps: Optional[Sequence[Dict[str, Any]]] = None,
+):
+    """Synthetic data from the model prior (mixturemodel's ``sample``):
+    draw a CRP partition, per-cluster parameters from each feature prior,
+    then one row per entity.  Returns (data columns, assignment) in the
+    same ((values, mask), ...) layout `initialize` consumes.
+    """
+    hypers = tuple(
+        desc.canonical_hyper(
+            None if feature_hps is None else feature_hps[f]
+        )
+        for f, desc in enumerate(defn.models)
+    )
+    alpha = jnp.asarray((cluster_hp or {}).get("alpha", 1.0))
+    kz, kt, kv = jax.random.split(key, 3)
+    z = sample_crp_assignment(kz, defn.n, defn.k_max, alpha)
+
+    data = []
+    for f, (desc, hyper) in enumerate(zip(defn.models, hypers)):
+        lik = desc.likelihood
+        empty = lik.init_stats(hyper, (defn.k_max,))
+        theta = lik.sample_params(jax.random.fold_in(kt, f), hyper, empty)
+        theta_rows = jax.tree_util.tree_map(lambda l: l[z], theta)
+        row_keys = jax.random.split(jax.random.fold_in(kv, f), defn.n)
+        vals = jax.vmap(lik.sample_value)(row_keys, theta_rows)
+        data.append((vals, jnp.ones(defn.n, jnp.float32)))
+    return tuple(data), z
+
+
+def sample_post_pred(state: MixtureState, key, size: int = 1):
+    """Draw `size` hypothetical new rows from the posterior predictive
+    (mixturemodel's ``state.sample_post_pred``): cluster ~ CRP seating
+    weights (a fresh cluster takes the alpha slot and draws from the
+    prior), then a value from that cluster's posterior parameter draw.
+    Returns (data columns [(values [size, ...], mask [size]), ...],
+    cluster ids [size]).
+    """
+    validator.validate_positive(size, "size")
+    kc, kt, kv = jax.random.split(key, 3)
+    logw = crp_prior_scores(state)
+    z = jax.random.categorical(kc, logw, shape=(size,))
+
+    data = []
+    for f, (lik, hyper, stats_f) in enumerate(
+        zip(state.likelihoods(), state.hypers, state.stats)
+    ):
+        theta = lik.sample_params(jax.random.fold_in(kt, f), hyper, stats_f)
+        theta_rows = jax.tree_util.tree_map(lambda l: l[z], theta)
+        row_keys = jax.random.split(jax.random.fold_in(kv, f), size)
+        vals = jax.vmap(lik.sample_value)(row_keys, theta_rows)
+        data.append((vals, jnp.ones(size, jnp.float32)))
+    return tuple(data), z

@@ -4,3 +4,4 @@ from common_tpu.utils.util import (  # noqa: F401
     random_assignment_vector,
     random_orthonormal_matrix,
 )
+from common_tpu.utils import debug  # noqa: F401

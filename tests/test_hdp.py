@@ -349,3 +349,68 @@ def test_hdp_runner_rejects_unknown_kernel():
 
     with pytest.raises(ValueError):
         runner(None, topic.token_data(view), state, [("grid_feature_hp", {})])
+
+
+def test_sharded_sweep_matches_z_enumeration(cpu_devices):
+    """Distributional agreement for the token-sharded sweep: with beta
+    fixed, its stationary distribution over z must match brute-force
+    enumeration (the phi/theta blocked Gibbs on the mesh targets the
+    same collapsed p(z | w, beta) = exp(score_joint))."""
+    import dataclasses
+
+    rows = [np.array([0, 0, 1]), np.array([1, 1, 0])]
+    K = 2
+    # pad token axis to 8 so it shards over the 8-device mesh
+    view = variadic_dataview(rows, pad_to=8)
+    data = topic.token_data(view)
+    state = topic.initialize(view, K, 2, jax.random.key(0),
+                             alpha=0.8, eta=0.5)
+    state = dataclasses.replace(state, beta=jnp.asarray([0.5, 0.3, 0.2]))
+    real = np.asarray(data.mask) > 0
+    assert real.sum() == 6
+
+    combos, scores = [], []
+    for z6 in itertools.product(range(K), repeat=6):
+        zfull = np.zeros(8, np.int32)
+        zfull[real] = z6
+        s = _state_with_z(state, data, zfull)
+        combos.append(z6)
+        scores.append(float(topic.score_joint(s)))
+    exact = dict(zip(combos, np.exp(scores - sp_logsumexp(scores))))
+
+    mesh = parallel.make_mesh(chains=1, data=8, devices=cpu_devices[:8])
+    cache = {}
+
+    def sample_fn(n):
+        if n not in cache:
+            with jax.default_device(cpu_devices[0]):
+                zr = np.zeros(8, np.int32)
+                zr[real] = np.asarray(
+                    jax.random.randint(
+                        jax.random.key(len(cache) + 3), (6,), 0, K
+                    )
+                )
+                s0 = _state_with_z(state, data, zr)
+                sstate, sdata = topic.shard_corpus(mesh, s0, data)
+                sweep = topic.make_sharded_sweep(mesh, sstate, sdata)
+
+                from functools import partial as _partial
+
+                @_partial(jax.jit, static_argnames=("steps",))
+                def chain(s, key, steps):
+                    def body(st, k):
+                        return sweep(st, sdata, k), st.z
+
+                    return jax.lax.scan(
+                        body, s, jax.random.split(key, steps)
+                    )[1]
+
+                zs = np.asarray(
+                    chain(sstate, jax.random.key(len(cache)), n + 100)
+                )
+            cache[n] = [tuple(int(v) for v in z[real]) for z in zs[100:]]
+        return cache[n]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
+    )

@@ -130,3 +130,59 @@ def test_jitter_does_not_shift_small_problems():
         np.zeros(d), 1.0, np.eye(d), d + 2.0, X.astype(np.float64)
     )
     assert abs(got - want) < 1e-3, (got, want)
+
+
+def test_debug_tiers_utilities():
+    """utils.debug: nan_check raises on NaN; x64 traces f64; replay_key
+    reproduces the fold_in chain."""
+    from common_tpu.utils import debug
+
+    with pytest.raises(FloatingPointError):
+        with debug.nan_check():
+            jax.jit(lambda x: jnp.log(x) - jnp.log(x) + jnp.sqrt(x))(
+                -1.0
+            ).block_until_ready()
+
+    with debug.x64():
+        assert jnp.asarray(1.0).dtype == jnp.float64
+    assert jnp.asarray(1.0).dtype == jnp.float32
+
+    k1 = debug.replay_key(jax.random.key(0), 3, 7, 11)
+    k2 = jax.random.fold_in(
+        jax.random.fold_in(jax.random.fold_in(jax.random.key(0), 3), 7), 11
+    )
+    assert jax.random.uniform(k1) == jax.random.uniform(k2)
+
+
+def test_f64_tier_marginal_comparison():
+    """x64 tier in action: f32 marginal within tolerance of the f64 trace
+    of the same computation at d=32."""
+    from common_tpu.utils import debug
+
+    d = 32
+    r = np.random.default_rng(9)
+    X = r.normal(size=(50, d))
+    stats32 = {
+        "n": jnp.asarray(50.0),
+        "sum_x": jnp.asarray(X.sum(0), jnp.float32),
+        "sum_xxT": jnp.asarray(X.T @ X, jnp.float32),
+    }
+    hyper32 = {
+        "mu0": jnp.zeros(d), "kappa": jnp.asarray(1.0),
+        "psi": jnp.eye(d), "nu": jnp.asarray(float(d + 2)),
+    }
+    got32 = float(niw_lik.marginal_loglik(hyper32, stats32))
+    with debug.x64():
+        stats64 = {
+            "n": jnp.asarray(50.0, jnp.float64),
+            "sum_x": jnp.asarray(X.sum(0), jnp.float64),
+            "sum_xxT": jnp.asarray(X.T @ X, jnp.float64),
+        }
+        hyper64 = {
+            "mu0": jnp.zeros(d, jnp.float64),
+            "kappa": jnp.asarray(1.0, jnp.float64),
+            "psi": jnp.eye(d, dtype=jnp.float64),
+            "nu": jnp.asarray(float(d + 2), jnp.float64),
+        }
+        got64 = float(niw_lik.marginal_loglik(hyper64, stats64))
+    assert abs(got32 - got64) < 1e-4 * abs(got64) + 0.1, (got32, got64)

@@ -8,6 +8,7 @@ score_joint), and the EPPF must match hand-computed CRP probabilities.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.special import gammaln
 
 from common_tpu import models
@@ -316,3 +317,47 @@ def test_runner_saturation_warning_and_jsonl(tmp_path):
     assert {"sweep", "score_joint", "k_active", "occupancy", "ess"} <= set(lines[0])
     assert lines[-1]["ess"] is not None
     assert sum(lines[0]["occupancy"]) == n
+
+
+def test_sample_prior_generative():
+    """st.sample draws (data, assignment) consumable by initialize, with
+    CRP-consistent cluster usage."""
+    defn = st.model_definition(300, [models.niw(2), models.bb], k_max=16)
+    data, z = st.sample(defn, jax.random.key(0), cluster_hp={"alpha": 2.0})
+    assert data[0][0].shape == (300, 2)
+    assert data[1][0].shape == (300,)
+    z = np.asarray(z)
+    assert z.min() >= 0 and z.max() < 16
+    # bb values are 0/1
+    assert set(np.unique(np.asarray(data[1][0]))) <= {0.0, 1.0}
+    s = st.initialize(defn, data, jax.random.key(1),
+                      assignment=jnp.asarray(z))
+    assert np.isfinite(float(st.score_joint(s)))
+
+
+def test_sample_post_pred_tracks_posterior():
+    """Posterior-predictive draws concentrate near the data's clusters."""
+    r = np.random.default_rng(0)
+    centers = np.array([[-6.0], [6.0]])
+    zt = r.integers(0, 2, 400)
+    x = (centers[zt][:, 0] + r.normal(scale=0.5, size=400)).astype(np.float32)
+    defn = st.model_definition(400, [models.niw(1)], k_max=8)
+    data = ((jnp.asarray(x)[:, None], jnp.ones(400)),)
+    s = st.initialize(defn, data, jax.random.key(0),
+                      assignment=jnp.asarray(zt, jnp.int32))
+    pp, zz = st.sample_post_pred(s, jax.random.key(1), size=200)
+    vals = np.asarray(pp[0][0])[:, 0]
+    assert zz.shape == (200,)
+    # nearly all mass within the two posterior modes
+    near = (np.abs(vals + 6) < 3) | (np.abs(vals - 6) < 3)
+    assert near.mean() > 0.9, near.mean()
+    # both modes visited
+    assert (vals < 0).any() and (vals > 0).any()
+
+
+def test_sample_post_pred_validates_size():
+    defn = st.model_definition(10, [models.bb], k_max=4)
+    data = ((jnp.zeros(10), jnp.ones(10)),)
+    s = st.initialize(defn, data, jax.random.key(0))
+    with pytest.raises(ValueError):
+        st.sample_post_pred(s, jax.random.key(1), size=0)
