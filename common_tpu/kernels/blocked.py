@@ -144,14 +144,18 @@ def assign(state: MixtureState, data, key) -> MixtureState:
 # ---------------------------------------------------------------------------
 # Pallas-fused fast path (single-feature NIW)
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@partial(jax.jit, static_argnames=("tile_n", "k_tile", "interpret",
+                                   "fused_restat"))
 def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
-                interpret: bool = False) -> MixtureState:
+                k_tile: int = 8, interpret: bool = False,
+                fused_restat: bool = True) -> MixtureState:
     """Blocked sweep with the Pallas fused score+Gumbel+argmax kernel.
 
     Same sampler as `sweep`, but the [N, K] score table never touches HBM
-    (ops/gaussian_assign.py).  Restricted to a single NIW feature — the
-    headline 1M-row dense-Gaussian configuration; other models use `sweep`.
+    (ops/gaussian_assign.py) and, with fused_restat, the scatter-matrix
+    rebuild streams X once per cluster tile instead of once per cluster
+    (ops/suffstat.py).  Restricted to a single NIW feature — the headline
+    1M-row dense-Gaussian configuration; other models use `sweep`.
     """
     if state.lik_names != ("niw",):
         raise ValueError(
@@ -181,10 +185,34 @@ def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
     base = logw - 0.5 * logdet - 0.5 * d * jnp.log(2.0 * jnp.pi)
     seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
     z = fused_gaussian_assign(
-        x, mu, binv, base, seed, tile_n=tile_n, interpret=interpret
+        x, mu, binv, base, seed, tile_n=tile_n, k_tile=k_tile,
+        interpret=interpret,
     )
     # fully-masked rows carry no likelihood: assign from the weights alone
     g = jax.random.gumbel(km, (x.shape[0], logw.shape[0]))
     z_prior = jnp.argmax(logw[None, :] + g, axis=-1).astype(jnp.int32)
     z = jnp.where(jnp.asarray(mask) > 0, z, z_prior)
-    return restat(state, data, z, [theta])
+    if not fused_restat:
+        return restat(state, data, z, [theta])
+
+    # fused rebuild: the O(N·K·D²) scatter matrix comes from the Pallas
+    # restat kernel (X streamed K/K_TILE times instead of K times); the
+    # cheap O(N·D) leaves (n, sum_x) and counts stay in XLA.
+    from common_tpu.ops.suffstat import fused_scatter_stats
+
+    K = state.k_max
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(z), z, num_segments=K
+    ).astype(jnp.int32)
+    m = jnp.asarray(mask, x.dtype)
+    zi = jnp.where(m > 0, z, K)  # masked rows: counted, not accumulated
+    onehot = (zi[:, None] == jnp.arange(K)[None, :]).astype(x.dtype)
+    n_stat = jnp.sum(onehot, axis=0)
+    sum_x = onehot.T @ x
+    sum_xxT = fused_scatter_stats(
+        x, zi, K, tile_n=tile_n, k_tile=k_tile, interpret=interpret
+    )
+    stats = {"n": n_stat, "sum_x": sum_x, "sum_xxT": sum_xxT}
+    return dataclasses.replace(
+        state, assignments=z, counts=counts, stats=(stats,)
+    )

@@ -144,3 +144,45 @@ def test_tpu_compiled_matches_reference():
         z = fused_gaussian_assign(X, mu, binv, base, 11)
         zr = gaussian_assign_reference(X, mu, binv, base, jax.random.key(0))
         assert (np.asarray(z) == np.asarray(zr)).mean() > 0.99
+
+
+def test_fused_restat_matches_xla():
+    """fused_scatter_stats == per-cluster XLA matmuls (masked rows too)."""
+    from common_tpu.ops.suffstat import fused_scatter_stats
+
+    r = np.random.default_rng(3)
+    n, d, K = 700, 8, 6
+    X = r.normal(size=(n, d)).astype(np.float32)
+    z = r.integers(0, K, n).astype(np.int32)
+    got = np.asarray(fused_scatter_stats(
+        jnp.asarray(X), jnp.asarray(z), K, tile_n=128, k_tile=4,
+        interpret=True,
+    ))
+    want = np.stack([X[z == k].T @ X[z == k] for k in range(K)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_sweep_fused_restat_equivalent():
+    """sweep_fused with the fused restat produces the same stats as the
+    XLA restat from the same assignment draw (identical keys)."""
+    defn, data, _ = _recovery_problem()
+    s = st.initialize(defn, data, jax.random.key(0),
+                      cluster_hp={"alpha": 1.0})
+    key = jax.random.key(2)
+    with pltpu.force_tpu_interpret_mode():
+        out_xla = blocked.sweep_fused(s, data, key, tile_n=1024,
+                                      fused_restat=False)
+        out_fused = blocked.sweep_fused(s, data, key, tile_n=1024,
+                                        fused_restat=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_xla.assignments), np.asarray(out_fused.assignments)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_xla.counts), np.asarray(out_fused.counts)
+    )
+    for leaf in ("n", "sum_x", "sum_xxT"):
+        np.testing.assert_allclose(
+            np.asarray(out_xla.stats[0][leaf]),
+            np.asarray(out_fused.stats[0][leaf]),
+            rtol=1e-5, atol=1e-3, err_msg=leaf,
+        )
