@@ -404,13 +404,6 @@ def main():
         tiers.append(fused)
         top = fused
 
-    smc_tier = None
-    if args.smc:
-        try:
-            smc_tier = run_smc_tier(50_000, 8, 32, 128, jax.random.key(5))
-        except Exception as e:
-            print(f"# smc tier failed: {e!r}", file=sys.stderr)
-
     efficiency = None
     if args.efficiency:
         try:
@@ -428,6 +421,16 @@ def main():
             )
         except Exception as e:
             print(f"# efficiency measurement failed: {e!r}", file=sys.stderr)
+
+    # SMC runs LAST: a 50k-row scan once crashed the axon TPU worker
+    # ("kernel fault"), wedging the device for every later executable —
+    # nothing TPU-bound may run after this tier.
+    smc_tier = None
+    if args.smc:
+        try:
+            smc_tier = run_smc_tier(20_000, 8, 32, 128, jax.random.key(5))
+        except Exception as e:
+            print(f"# smc tier failed: {e!r}", file=sys.stderr)
 
     vs = None
     base_sweeps_per_s = None
