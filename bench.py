@@ -306,6 +306,75 @@ def run_smc_tier(n, d, k_max, n_particles, key):
     }
 
 
+def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
+                 chunk=1 << 20):
+    """Config-4 scale: HDP-LDA blocked sweeps/s on an n_docs-doc corpus.
+
+    Synthetic corpus generated on-device (equal-length docs, topic-block
+    vocab); one compiled scan of `sweeps` (chunked blocked sweep + beta
+    resample) is timed; reports sweeps/s and tokens/s.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from common_tpu import topic
+
+    T = n_docs * doc_len
+    kb = 4  # true topic blocks
+
+    @jax.jit
+    def gen(key):
+        doc_ids = (jnp.arange(T, dtype=jnp.int32) // doc_len)
+        topic_of_doc = doc_ids % kb
+        block = vocab // kb
+        w = topic_of_doc * block + jax.random.randint(
+            key, (T,), 0, block, jnp.int32
+        )
+        return topic.TokenData(w, doc_ids, jnp.ones(T, jnp.float32))
+
+    data = gen(jax.random.fold_in(key, 0))
+    state = topic.initialize(
+        data, k_topics, vocab, jax.random.fold_in(key, 1), n_docs=n_docs
+    )
+
+    def run(state, key):
+        def body(st, t):
+            kt = jax.random.fold_in(key, t)
+            st = topic.blocked_sweep(
+                st, data, jax.random.fold_in(kt, 0), chunk=chunk
+            )
+            st = topic.hdp._sample_beta_jit(
+                st, jax.random.fold_in(kt, 1), doc_len
+            )
+            return st, topic.score_joint(st)
+
+        return jax.lax.scan(body, state, jnp.arange(sweeps))
+
+    t0 = time.perf_counter()
+    run_c = jax.jit(run).lower(state, key).compile()
+    compile_s = time.perf_counter() - t0
+    out, trace = run_c(state, key)
+    np.asarray(out.topic_total)  # warm-up + fence
+    t0 = time.perf_counter()
+    out, trace = run_c(state, key)
+    np.asarray(out.topic_total)
+    dt = time.perf_counter() - t0
+
+    return {
+        "n_docs": n_docs,
+        "tokens": T,
+        "k_topics": k_topics,
+        "vocab": vocab,
+        "sweeps": sweeps,
+        "sweeps_per_s": round(sweeps / dt, 3),
+        "tokens_per_s": round(T * sweeps / dt, 0),
+        "compile_s": round(compile_s, 1),
+        "k_active": int(np.asarray(out.active_topics())),
+        "score_final": float(np.asarray(trace)[-1]),
+    }
+
+
 # (n, d, k_max, sweeps) — smallest first; last is the BASELINE.md headline.
 LADDER = [
     (20_000, 16, 16, 10),
@@ -322,6 +391,11 @@ def main():
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 360.0)))
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--hdp", action="store_true",
+        help="also measure HDP-LDA blocked sweeps/s on a 1M-doc corpus "
+        "(config-4 scale; adds ~2 min)",
+    )
     ap.add_argument(
         "--smc", action="store_true",
         help="also measure SMC sequential-imputation rows/s at 50k rows "
@@ -404,6 +478,15 @@ def main():
         tiers.append(fused)
         top = fused
 
+    hdp_tier = None
+    if args.hdp:
+        try:
+            hdp_tier = run_hdp_tier(
+                1_000_000, 50, 32, 10_000, 3, jax.random.key(6)
+            )
+        except Exception as e:
+            print(f"# hdp tier failed: {e!r}", file=sys.stderr)
+
     efficiency = None
     if args.efficiency:
         try:
@@ -469,6 +552,7 @@ def main():
                 "k_active": top["k_active"],
                 "budget_s": args.budget_s,
                 "fused_tier": fused,
+                "hdp": hdp_tier,
                 "smc": smc_tier,
                 "efficiency": efficiency,
                 "tiers": tiers,

@@ -92,18 +92,22 @@ class HDPState:
 
 
 def _counts(z, data: TokenData, D, K, V):
-    """All three count tables from (z, corpus) via segment-sums."""
+    """All three count tables from (z, corpus) via flat-index segment-sums.
+
+    O(T) memory: invalid/padding tokens route to a scratch segment (no
+    [T, K] one-hot is ever materialized — at config-4 scale, 50M tokens x
+    K would not fit)."""
     valid = data.mask > 0
     zi = jnp.where(valid, z, K)
+    ones = jnp.ones_like(data.words, jnp.float32)
+    d_safe = jnp.minimum(data.doc_ids, D)
+    flat_dk = jnp.where(valid, d_safe * K + zi, D * K)
     dk = jax.ops.segment_sum(
-        jax.nn.one_hot(zi, K + 1, dtype=jnp.float32)[:, :K],
-        jnp.minimum(data.doc_ids, D),
-        num_segments=D + 1,
-    )[:D]
+        ones, flat_dk, num_segments=D * K + 1
+    )[: D * K].reshape(D, K)
     flat_kw = jnp.where(valid, zi * V + data.words, K * V)
     kw = jax.ops.segment_sum(
-        jnp.ones_like(data.words, jnp.float32), flat_kw,
-        num_segments=K * V + 1,
+        ones, flat_kw, num_segments=K * V + 1,
     )[: K * V].reshape(K, V)
     return dk, kw, jnp.sum(kw, axis=-1)
 
@@ -351,22 +355,52 @@ def _draw_phi_theta(state: HDPState, key):
     return phi, theta
 
 
-@jax.jit
-def blocked_sweep(state: HDPState, data: TokenData, key) -> HDPState:
-    """phi, theta | z, then ALL tokens reassigned in parallel."""
+@partial(jax.jit, static_argnames=("chunk",))
+def blocked_sweep(state: HDPState, data: TokenData, key,
+                  chunk: Optional[int] = None) -> HDPState:
+    """phi, theta | z, then ALL tokens reassigned in parallel.
+
+    chunk: optional token-block size — the [T, K] score table is then
+    built blockwise inside a scan so peak memory is [chunk, K] (the
+    config-4 path: 50M tokens x K=32 would otherwise need ~6 GB for the
+    table alone).  Same sampler either way (per-chunk fold_in keys).
+    """
     kd, kz = jax.random.split(key)
     phi, theta = _draw_phi_theta(state, kd)
     log_phi = jnp.log(jnp.clip(phi, 1e-30))     # [K, V]
     log_theta = jnp.log(jnp.clip(theta, 1e-30))  # [D, K]
 
     D = state.n_docs
-    logp = (
-        log_theta[jnp.minimum(data.doc_ids, D - 1)]  # [T, K]
-        + log_phi[:, data.words].T                   # [T, K]
-    )
-    g = jax.random.gumbel(kz, logp.shape, logp.dtype)
-    z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
-    z = jnp.where(data.mask > 0, z, state.z)
+    T = data.words.shape[0]
+    if chunk is None or chunk >= T:
+        logp = (
+            log_theta[jnp.minimum(data.doc_ids, D - 1)]  # [T, K]
+            + log_phi[:, data.words].T                   # [T, K]
+        )
+        g = jax.random.gumbel(kz, logp.shape, logp.dtype)
+        z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+        z = jnp.where(data.mask > 0, z, state.z)
+    else:
+        pad = (-T) % chunk
+        d_ids = jnp.pad(data.doc_ids, (0, pad)).reshape(-1, chunk)
+        words = jnp.pad(data.words, (0, pad)).reshape(-1, chunk)
+        masks = jnp.pad(data.mask, (0, pad)).reshape(-1, chunk)
+        z_olds = jnp.pad(state.z, (0, pad)).reshape(-1, chunk)
+
+        def body(c, blk):
+            di, w, m, z_old = blk
+            logp = (
+                log_theta[jnp.minimum(di, D - 1)]
+                + log_phi[:, w].T
+            )
+            g = jax.random.gumbel(
+                jax.random.fold_in(kz, c), logp.shape, logp.dtype
+            )
+            zc = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+            return c + 1, jnp.where(m > 0, zc, z_old)
+
+        _, z = jax.lax.scan(body, 0, (d_ids, words, masks, z_olds))
+        z = z.reshape(-1)[:T]
 
     dk, kw, kt = _counts(z, data, D, state.n_topics, state.vocab_size)
     return dataclasses.replace(

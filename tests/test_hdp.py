@@ -414,3 +414,50 @@ def test_sharded_sweep_matches_z_enumeration(cpu_devices):
     testutil.assert_discrete_dist_approx(
         sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
     )
+
+
+def test_blocked_chunked_matches_z_enumeration():
+    """The chunked blocked sweep (config-4 memory path) has the same
+    stationary z distribution as brute-force enumeration, beta fixed."""
+    import dataclasses
+
+    view, data = _tiny_corpus()
+    K = 2
+    state = topic.initialize(view, K, 2, jax.random.key(0),
+                             alpha=0.8, eta=0.5)
+    state = dataclasses.replace(state, beta=jnp.asarray([0.5, 0.3, 0.2]))
+
+    combos, scores = [], []
+    for z in itertools.product(range(K), repeat=6):
+        s = _state_with_z(state, data, z)
+        combos.append(z)
+        scores.append(float(topic.score_joint(s)))
+    exact = dict(zip(combos, np.exp(scores - sp_logsumexp(scores))))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(s, key, n):
+        def body(st, k):
+            st = topic.blocked_sweep(st, data, k, chunk=4)  # 6 tokens -> 2 chunks
+            return st, st.z
+
+        return jax.lax.scan(body, s, jax.random.split(key, n))
+
+    cache = {}
+
+    def sample_fn(n):
+        if n not in cache:
+            s0 = _state_with_z(
+                state, data,
+                np.asarray(jax.random.randint(
+                    jax.random.key(len(cache) + 11), (6,), 0, K
+                )),
+            )
+            _, zs = chain(s0, jax.random.key(len(cache) + 50), n + 100)
+            cache[n] = [tuple(int(v) for v in z) for z in np.asarray(zs)[100:]]
+        return cache[n]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
+    )
