@@ -14,3 +14,8 @@ from common_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_sweep,
 )
 from common_tpu.parallel.scaling import measure_row_scaling  # noqa: F401
+from common_tpu.parallel.chains import (  # noqa: F401
+    stack_states,
+    unstack_state,
+    vmap_sweep,
+)

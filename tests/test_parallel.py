@@ -146,3 +146,55 @@ def test_scaling_efficiency_harness(cpu_devices):
     assert all(v > 0 for v in res["throughput"].values()), res
     assert 0 < res["efficiency"] < 100, res
     assert res["n"] % 4 == 0
+
+
+def test_multichain_hdp_and_irm():
+    """Family-generic chain vmap: independent HDP and IRM chains advance
+    in one compiled program and stay independent."""
+    from common_tpu import topic
+    from common_tpu import relational as irm
+    from common_tpu.data.variadic import variadic_dataview
+    from common_tpu.data.sparse import sparse_ndarray_dataview
+
+    # --- HDP: 3 chains over one corpus -----------------------------------
+    r = np.random.default_rng(0)
+    rows = [r.integers(0, 12, size=15) for _ in range(20)]
+    view = variadic_dataview(rows)
+    data = topic.token_data(view)
+    chains = [
+        topic.initialize(view, 4, 12, jax.random.key(i)) for i in range(3)
+    ]
+    batched = parallel.stack_states(chains)
+    sweep = jax.jit(parallel.vmap_sweep(topic.blocked_sweep))
+    for it in range(3):
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(9), it), 3)
+        batched = sweep(batched, data, keys)
+    total = sum(len(rw) for rw in rows)
+    zs = np.asarray(batched.z)
+    assert zs.shape[0] == 3
+    assert not (zs[0] == zs[1]).all()  # chains diverged
+    for c in range(3):
+        st_c = parallel.unstack_state(batched, c)
+        assert float(jnp.sum(st_c.topic_total)) == total
+
+    # --- IRM: 2 chains over one relation ---------------------------------
+    rel = (r.random((8, 8)) < 0.5).astype(np.float32)
+    defn = irm.model_definition([8], [((0, 0), models.bb)], k_max=4)
+    views = irm.as_views([sparse_ndarray_dataview(dense=rel)])
+    ichains = [
+        irm.initialize(defn, views, jax.random.key(10 + i),
+                       cluster_hps=[{"alpha": 1.0}])
+        for i in range(2)
+    ]
+    ibatched = parallel.stack_states(ichains)
+    self_rel = (True,)
+    isweep = jax.jit(jax.vmap(
+        lambda s, k: irm.kernels._sweep_jit(s, views, k, self_rel),
+        in_axes=(0, 0),
+    ))
+    for it in range(3):
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(11), it), 2)
+        ibatched = isweep(ibatched, keys)
+    counts = np.asarray(ibatched.counts[0])
+    assert counts.shape == (2, 4)
+    np.testing.assert_array_equal(counts.sum(axis=-1), 8)
