@@ -15,3 +15,4 @@ from common_tpu.topic.hdp import (  # noqa: F401
     shard_corpus,
     token_data,
 )
+from common_tpu.topic import svi  # noqa: F401
