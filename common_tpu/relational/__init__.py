@@ -16,6 +16,8 @@ from common_tpu.relational.state import (  # noqa: F401
     as_views,
     initialize,
     model_definition,
+    pred_logpdf,
+    predict_missing,
     score_assignment,
     score_joint,
     score_likelihood,

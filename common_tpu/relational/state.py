@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -285,3 +286,48 @@ def score_likelihood(state: IRMState, rid: Optional[int] = None):
 def score_joint(state: IRMState):
     """log p(partitions, relations) — the enumeration oracle's target."""
     return score_assignment(state) + score_likelihood(state)
+
+
+# ---------------------------------------------------------------------------
+# prediction (link prediction — the IRM posterior-predictive surface)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("rid",))
+def pred_logpdf(state: IRMState, rid, indices, values):
+    """Collapsed posterior-predictive log p(x_cell | state) for query cells.
+
+    indices [M, arity] entity tuples of relation `rid`, values [M]
+    candidate cell values; each cell is scored against its cluster
+    block's current suffstats (the reference irm's score_value analog,
+    used for link prediction / missing-cell imputation).
+    """
+    rid = int(rid)
+    lik = state.likelihoods()[rid]
+    doms = state.rel_domains[rid]
+    k_maxes = tuple(state.counts[d].shape[-1] for d in range(state.ndomains))
+    shape = tuple(k_maxes[d] for d in doms)
+    total = int(np.prod(shape))
+    indices = jnp.asarray(indices, jnp.int32)
+    bins = _cell_bins(doms, state.assignments, indices, k_maxes)
+    stats_cells = jax.tree_util.tree_map(
+        lambda s: s.reshape(total, *s.shape[len(shape):])[bins],
+        state.suffstats[rid],
+    )
+    return jax.vmap(
+        lambda st_c, v: lik.pred_logpdf(state.hypers[rid], st_c, v)
+    )(stats_cells, jnp.asarray(values))
+
+
+def predict_missing(state: IRMState, rid, indices, candidates):
+    """Posterior-predictive distribution over `candidates` for each cell.
+
+    Returns [M, C] normalized probabilities — argmax gives the imputation,
+    and for binary relations candidates=(0, 1) gives link probabilities.
+    """
+    cand = jnp.asarray(candidates)
+    logps = jnp.stack(
+        [pred_logpdf(state, rid, indices,
+                     jnp.full(len(jnp.asarray(indices)), c, cand.dtype))
+         for c in np.asarray(cand)],
+        axis=-1,
+    )
+    return jax.nn.softmax(logps, axis=-1)

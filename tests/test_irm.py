@@ -373,3 +373,46 @@ def test_irm_runner_integration():
     truth = zr[:, None] == zr[None, :]
     assert (same == truth).mean() > 0.9
     assert float(out.cluster_hps[0]["alpha"]) > 0
+
+
+def test_pred_logpdf_matches_hand_computation():
+    """Cell predictive == BB posterior-predictive of its block."""
+    defn, views = _self_problem(n=6, seed=5, k_max=4)
+    s = irm.initialize(defn, views, jax.random.key(0),
+                       cluster_hps=[{"alpha": 1.0}])
+    idx = np.array([[0, 3], [2, 5], [4, 4]], np.int32)
+    vals = np.array([1.0, 0.0, 1.0], np.float32)
+    got = np.asarray(irm.pred_logpdf(s, 0, idx, vals))
+
+    z = np.asarray(s.assignments[0])
+    heads = np.asarray(s.suffstats[0]["heads"])
+    n = np.asarray(s.suffstats[0]["n"])
+    a, b = 1.0, 1.0  # bb default hyper
+    for m, (i, j) in enumerate(idx):
+        h, tot = heads[z[i], z[j]], n[z[i], z[j]]
+        p1 = (a + h) / (a + b + tot)
+        want = np.log(p1 if vals[m] == 1.0 else 1.0 - p1)
+        assert abs(got[m] - want) < 1e-4, (m, got[m], want)
+
+
+def test_link_prediction_recovers_block_structure():
+    """Held-out cells of a 2-block relation predicted with high AUC-style
+    accuracy after collapsed sweeps."""
+    n = 20
+    r = np.random.default_rng(11)
+    zr = np.repeat(np.arange(2), n // 2)
+    probs = np.where(zr[:, None] == zr[None, :], 0.9, 0.1)
+    rel = (r.random((n, n)) < probs).astype(np.float32)
+    missing = r.random((n, n)) < 0.15
+    defn = irm.model_definition([n], [((0, 0), models.bb)], k_max=6)
+    view = sparse_ndarray_dataview(dense=rel, missing_mask=missing)
+    s = irm.initialize(defn, [view], jax.random.key(0),
+                       cluster_hps=[{"alpha": 1.0}])
+    for i in range(15):
+        s = irm.kernels.assign(s, [view], jax.random.key(i))
+    held = np.argwhere(missing)
+    p = np.asarray(irm.predict_missing(s, 0, held.astype(np.int32), (0.0, 1.0)))
+    pred = p[:, 1] > 0.5
+    truth_p = probs[held[:, 0], held[:, 1]] > 0.5
+    acc = (pred == truth_p).mean()
+    assert acc > 0.85, acc
