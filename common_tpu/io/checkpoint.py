@@ -43,12 +43,14 @@ def _state_types() -> Dict[str, type]:
     from common_tpu.relational.state import IRMState
     from common_tpu.state import MixtureState
     from common_tpu.topic.hdp import HDPState
+    from common_tpu.topic.svi import LDAPosterior
 
     return {
         "MixtureState": MixtureState,
         "IRMState": IRMState,
         "HDPState": HDPState,
         "SVIPosterior": SVIPosterior,
+        "LDAPosterior": LDAPosterior,
     }
 
 

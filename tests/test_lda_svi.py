@@ -80,3 +80,24 @@ def test_validators():
     post = lda.init(4, V, jax.random.key(0))
     with pytest.raises(ValueError):
         lda.fit_svi(post, counts, jax.random.key(1), 5, 4, kappa=0.3)
+
+
+def test_lda_posterior_checkpoint_roundtrip():
+    import tempfile, os
+
+    from common_tpu import io as ctio
+
+    rows, _, V = _block_corpus(n_docs=12, doc_len=8)
+    counts = lda.doc_term_matrix(variadic_dataview(rows), V)
+    post = lda.init(4, V, jax.random.key(0))
+    post, _ = lda.fit_cavi(post, counts, n_iters=3)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "lda.ckpt")
+        ctio.checkpoint.save(path, post)
+        post2, extra = ctio.checkpoint.load(path)
+    assert type(post2).__name__ == "LDAPosterior"
+    np.testing.assert_array_equal(np.asarray(post.lam), np.asarray(post2.lam))
+    np.testing.assert_array_equal(np.asarray(post.alpha), np.asarray(post2.alpha))
+    b1 = float(lda.bound(post, counts))
+    b2 = float(lda.bound(post2, counts))
+    assert b1 == b2
