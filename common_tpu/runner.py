@@ -201,7 +201,12 @@ def _family_of(state):
             score_joint=hdp.score_joint,
             counts=lambda st: st.topic_total,
             assignments=lambda st: st.z,
-            is_saturated=lambda st: jnp.all(st.topic_total > 0),
+            # transient nonzero counts on every truncation slot are normal
+            # for blocked sweeps; the truncation only binds once the
+            # remainder stick mass is exhausted too
+            is_saturated=lambda st: jnp.logical_and(
+                jnp.all(st.topic_total > 0), st.beta[-1] < 1e-3
+            ),
             default_kw=default_kw,
         )
     if isinstance(state, IRMState):
