@@ -42,7 +42,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 # before any jax import: virtual CPU devices for the --efficiency mode's
@@ -51,6 +53,71 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+
+# Best-result-so-far, shared with the watchdog thread.  A wedged axon TPU
+# worker hangs *inside* a single XLA call (no Python-level timeout can fire
+# in that thread), so a daemon watchdog prints whatever completed and
+# force-exits — the driver then still captures a parseable JSON line
+# instead of rc=124/parsed=null (round-1 failure mode).
+_RESULT_LOCK = threading.Lock()
+_RESULT = {
+    "metric": "blocked Gibbs sweeps/s (no tier completed)",
+    "value": None,
+    "unit": "sweeps/s",
+    "vs_baseline": None,
+}
+_DONE = threading.Event()
+
+
+def _publish(result):
+    with _RESULT_LOCK:
+        _RESULT.clear()
+        _RESULT.update(result)
+
+
+def _start_watchdog(fire_at_monotonic):
+    def run():
+        while not _DONE.is_set():
+            left = fire_at_monotonic - time.monotonic()
+            if left <= 0:
+                break
+            _DONE.wait(min(left, 5.0))
+        if _DONE.is_set():
+            return
+        with _RESULT_LOCK:
+            out = dict(_RESULT)
+        out["watchdog_timeout"] = True
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=run, daemon=True, name="bench-watchdog")
+    t.start()
+    return t
+
+
+def tpu_preflight(timeout_s=240.0):
+    """True iff a TPU backend initializes AND executes in a subprocess.
+
+    The axon worker can wedge such that device *enumeration* works (or
+    hangs) while every execution/transfer stalls forever — probing in-process
+    would wedge the bench itself.  A tiny matmul + host fetch in a child
+    process under a hard timeout is the only safe probe."""
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "assert any(d.platform == 'tpu' for d in jax.devices())\n"
+        "y = jnp.ones((128, 128)) @ jnp.ones((128, 128))\n"
+        "print('OK', float(np.asarray(y)[0, 0]))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True, env=env,
+        )
+        return r.returncode == 0 and "OK" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def make_data_device(key, n, d, n_true=8):
@@ -413,15 +480,39 @@ def main():
     ap.add_argument("--sweeps", type=int, default=None)
     args = ap.parse_args()
 
+    deadline = time.monotonic() + args.budget_s
+    # A tier admitted before the deadline may legitimately finish after it
+    # (axon compiles are slow); the watchdog only fires once the run is
+    # clearly wedged, and prints whatever completed before force-exiting.
+    _start_watchdog(deadline + 180.0)
+
+    tpu_dead = False
+    if os.environ.get("BENCH_FORCE_CPU", "") != "1":
+        if not tpu_preflight(timeout_s=min(240.0, args.budget_s * 0.6)):
+            tpu_dead = True
+            print(
+                "# TPU preflight failed (worker wedged or absent): "
+                "falling back to CPU at smoke scale",
+                file=sys.stderr,
+            )
+    else:
+        tpu_dead = True
+
     import jax
 
-    deadline = time.monotonic() + args.budget_s
+    if tpu_dead:
+        # JAX_PLATFORMS=cpu does NOT suppress the axon PJRT plugin on this
+        # box (verified) — pin via default_device like tests/conftest.py.
+        # jax.devices("cpu") initializes only the CPU backend, so a wedged
+        # axon worker cannot hang this path.
+        jax.default_device(jax.devices("cpu")[0]).__enter__()
+
     baseline_reserve_s = 0.0 if args.skip_baseline else 8.0
 
     if args.n or args.d or args.k or args.sweeps:
         ladder = [(args.n or 100_000, args.d or 64, args.k or 32,
                    args.sweeps or 8)]
-    elif args.smoke:
+    elif args.smoke or tpu_dead:
         ladder = LADDER[:1]
     else:
         ladder = LADDER
@@ -451,11 +542,27 @@ def main():
         tiers.append(t)
         rate = 4.0 * n * k_max * d * d / (t["run_s"] / sweeps)
         last_compile = t["compile_s"]
+        _publish({
+            "metric": (
+                f"{t['kernel']} Gibbs sweeps/s, {t['n']}x{t['d']} "
+                f"DPMM-NIW K_max={t['k_max']}"
+            ),
+            "value": round(t["sweeps_per_s"], 4),
+            "unit": "sweeps/s",
+            "vs_baseline": None,
+            "ess_per_s": t["ess_per_s"],
+            "tflops": t["tflops"],
+            "mfu_vs_bf16_peak": t["mfu_vs_bf16_peak"],
+            "tpu_preflight_failed": tpu_dead,
+            "tiers": tiers,
+        })
 
     if not tiers:
+        _DONE.set()
         print(json.dumps({
             "metric": "blocked Gibbs sweeps/s (no tier completed)",
             "value": None, "unit": "sweeps/s", "vs_baseline": None,
+            "tpu_preflight_failed": tpu_dead,
         }))
         return
 
@@ -466,7 +573,7 @@ def main():
     fused = None
     remaining = deadline - time.monotonic() - baseline_reserve_s
     est_fused = top["run_s"] * 1.5 + 1.6 * last_compile
-    if not args.smoke and remaining > est_fused:
+    if not args.smoke and not tpu_dead and remaining > est_fused:
         try:
             fused = run_tier(
                 top["n"], top["d"], top["k_max"], top["sweeps"],
@@ -528,37 +635,43 @@ def main():
         except Exception as e:
             print(f"# baseline failed: {e!r}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{top['kernel']} Gibbs sweeps/s, {top['n']}x{top['d']} "
-                    f"DPMM-NIW K_max={top['k_max']}"
-                ),
-                "value": round(top["sweeps_per_s"], 4),
-                "unit": "sweeps/s",
-                "vs_baseline": None if vs is None else round(vs, 1),
-                "baseline": (
-                    "reference-architecture per-row collapsed Gibbs "
-                    "(numpy), scaled to full N"
-                ),
-                "baseline_sweeps_per_s": None
-                if base_sweeps_per_s is None
-                else float(f"{base_sweeps_per_s:.3e}"),
-                "ess_per_s": top["ess_per_s"],
-                "tflops": top["tflops"],
-                "mfu_vs_bf16_peak": top["mfu_vs_bf16_peak"],
-                "device": str(jax.devices()[0]),
-                "k_active": top["k_active"],
-                "budget_s": args.budget_s,
-                "fused_tier": fused,
-                "hdp": hdp_tier,
-                "smc": smc_tier,
-                "efficiency": efficiency,
-                "tiers": tiers,
-            }
+    try:
+        device = str(
+            jax.devices("cpu")[0] if tpu_dead else jax.devices()[0]
         )
-    )
+    except Exception:
+        device = "unknown"
+    result = {
+        "metric": (
+            f"{top['kernel']} Gibbs sweeps/s, {top['n']}x{top['d']} "
+            f"DPMM-NIW K_max={top['k_max']}"
+        ),
+        "value": round(top["sweeps_per_s"], 4),
+        "unit": "sweeps/s",
+        "vs_baseline": None if vs is None else round(vs, 1),
+        "baseline": (
+            "reference-architecture per-row collapsed Gibbs "
+            "(numpy), scaled to full N"
+        ),
+        "baseline_sweeps_per_s": None
+        if base_sweeps_per_s is None
+        else float(f"{base_sweeps_per_s:.3e}"),
+        "ess_per_s": top["ess_per_s"],
+        "tflops": top["tflops"],
+        "mfu_vs_bf16_peak": top["mfu_vs_bf16_peak"],
+        "device": device,
+        "k_active": top["k_active"],
+        "budget_s": args.budget_s,
+        "tpu_preflight_failed": tpu_dead,
+        "fused_tier": fused,
+        "hdp": hdp_tier,
+        "smc": smc_tier,
+        "efficiency": efficiency,
+        "tiers": tiers,
+    }
+    _publish(result)
+    _DONE.set()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
