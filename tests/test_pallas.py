@@ -186,3 +186,35 @@ def test_sweep_fused_restat_equivalent():
             np.asarray(out_fused.stats[0][leaf]),
             rtol=1e-5, atol=1e-3, err_msg=leaf,
         )
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_tpu_headline_shape_d256_k64():
+    """Compiled Mosaic kernels at the BASELINE.md headline feature shape
+    (d=256, K=64; VERDICT round-1 item 3: the small-shape tests said
+    nothing about the config the flagship claim is made at).
+
+    Well-separated clusters: the fused score+Gumbel+argmax assignment must
+    agree with the XLA reference sampler row-for-row, and the fused
+    scatter-matrix restat must match per-cluster XLA matmuls.
+    """
+    from common_tpu.ops.suffstat import fused_scatter_stats
+
+    n, d, k = 16384, 256, 64
+    X, mu, binv, base = _problem(n=n, d=d, k=k, sep=6.0, seed=5)
+    tpu = [dev for dev in jax.devices() if dev.platform != "cpu"][0]
+    with jax.default_device(tpu):
+        z = fused_gaussian_assign(X, mu, binv, base, 13, tile_n=1024,
+                                  k_tile=8)
+        zr = gaussian_assign_reference(X, mu, binv, base, jax.random.key(1))
+        z, zr = np.asarray(z), np.asarray(zr)
+        assert z.shape == (n,)
+        assert (z == zr).mean() > 0.99, (z == zr).mean()
+
+        got = np.asarray(fused_scatter_stats(
+            X, jnp.asarray(z), k, tile_n=1024, k_tile=8,
+        ))
+    Xh = np.asarray(X)
+    want = np.stack([Xh[z == kk].T @ Xh[z == kk] for kk in range(k)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-2)
