@@ -485,21 +485,24 @@ def main():
     ap.add_argument("--sweeps", type=int, default=None)
     args = ap.parse_args()
 
-    deadline = time.monotonic() + args.budget_s
     # A tier admitted before the deadline may legitimately finish after it
     # (axon compiles are slow); the watchdog only fires once the run is
     # clearly wedged, and prints whatever completed before force-exiting.
-    # Opt-in tiers run after the ladder deadline — give each its allowance.
+    # Opt-in tiers run after the ladder deadline — give each its allowance;
+    # the preflight gets its own 300 s on top so it never eats the
+    # measurement budget.
     grace = 180.0
     grace += 300.0 if args.hdp else 0.0
     grace += 300.0 if args.smc else 0.0
     grace += 180.0 if args.efficiency else 0.0
-    _start_watchdog(deadline + grace)
+    _start_watchdog(time.monotonic() + 300.0 + args.budget_s + grace)
 
     tpu_dead = False
     if os.environ.get("BENCH_FORCE_CPU", "") != "1":
         # Axon first contact alone can take >100 s; do not scale this down
         # with small budgets or a healthy TPU gets misclassified as dead.
+        # The axon worker also serves ONE client at a time — a concurrent
+        # TPU process blocks this probe until it exits.
         if not tpu_preflight(timeout_s=240.0):
             tpu_dead = True
             print(
@@ -511,6 +514,9 @@ def main():
         tpu_dead = True
 
     import jax
+
+    # measurement budget starts now: preflight time is infrastructure
+    deadline = time.monotonic() + args.budget_s
 
     if tpu_dead:
         # JAX_PLATFORMS=cpu does NOT suppress the axon PJRT plugin on this
