@@ -46,5 +46,11 @@ def pytest_collection_modifyitems(config, items):
         has_tpu = False
     skip_tpu = pytest.mark.skip(reason="no TPU device available")
     for item in items:
-        if "tpu" in item.keywords and not has_tpu:
-            item.add_marker(skip_tpu)
+        if "tpu" in item.keywords:
+            if not has_tpu:
+                item.add_marker(skip_tpu)
+            # Every real-TPU test is implicitly `slow`: the default gate
+            # (`-m "not slow"`) must stay TPU-free — the axon worker is
+            # single-client, so a pytest run touching the TPU would block
+            # (or be blocked by) any concurrent bench/driver process.
+            item.add_marker(pytest.mark.slow)
