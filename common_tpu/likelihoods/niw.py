@@ -235,9 +235,16 @@ class NIW(base.Likelihood):
         M = jnp.swapaxes(Mt, -1, -2)  # M M^T = Sigma ~ IW(nu_n, psi_n)
         z = jax.random.normal(km, (*batch, d), psi_n.dtype)
         mu = mu_n + jnp.einsum("...ij,...j->...i", M, z) / jnp.sqrt(kappa_n)[..., None]
-        # canonical lower-tri Cholesky of Sigma for fast logpdf
-        sigma = jnp.einsum("...ij,...kj->...ik", M, M)
-        return {"mu": mu, "cov_chol": jnp.linalg.cholesky(sigma)}
+        # canonical lower-tri Cholesky of Sigma = M Mᵀ for fast logpdf.
+        # Computed via QR of Mᵀ (Mᵀ = QR ⇒ Σ = RᵀR ⇒ chol(Σ) = Rᵀ with
+        # positive diag) — forming the Gram matrix and Cholesky-ing it
+        # NaNs in f32 for the heavy-tailed ν₀ = d + 2 prior draws
+        # (occasional ‖M‖ ~ 1e4 ⇒ Σ loses PSD-ness to rounding).
+        r = jnp.linalg.qr(jnp.swapaxes(M, -1, -2), mode="r")
+        sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        chol = jnp.swapaxes(r * sgn[..., :, None], -1, -2)
+        return {"mu": mu, "cov_chol": chol}
 
     def logpdf(self, theta, x):
         d = x.shape[-1]
