@@ -137,17 +137,35 @@ class SMCResult(NamedTuple):
     ess_trace: jax.Array      # [N] ESS after each row
 
 
-@partial(jax.jit, static_argnames=("ess_threshold", "rejuvenation_moves"))
+# A 50k-row sequential scan on the axon TPU once crashed the worker
+# outright ("kernel fault", BENCH_NOTES.md Incidents), wedging the device
+# for hours.  The row-sequential path is O(N) device steps and is the
+# wrong algorithm at scale anyway — `run_blocked` (O(N/B) steps) is the
+# config-5 path.  This cap fences the crash envelope; pass
+# allow_large=True only off-TPU or for deliberate bisection runs.
+ROW_SCAN_CAP = 20_000
+
+
+@partial(jax.jit, static_argnames=("ess_threshold", "rejuvenation_moves",
+                                   "allow_large"))
 def run(
     particles: MixtureState,
     data,
     key,
     ess_threshold: float = 0.5,
     rejuvenation_moves: int = 0,
+    allow_large: bool = False,
 ) -> SMCResult:
     """Run SMC over all rows. `particles` from `init_particles` ([P] axis)."""
     n_p = particles.counts.shape[0]
     n = particles.assignments.shape[-1]
+    if n > ROW_SCAN_CAP and not allow_large:
+        raise ValueError(
+            f"row-sequential SMC over {n} rows exceeds the safety cap "
+            f"({ROW_SCAN_CAP}): a 50k-row scan crashed the axon TPU worker "
+            "(BENCH_NOTES.md Incidents). Use run_blocked for at-scale SMC, "
+            "or pass allow_large=True off-TPU."
+        )
     log_p = jnp.log(float(n_p))
 
     def row_step(carry, eid):
@@ -204,6 +222,366 @@ def posterior_partition_weights(result: SMCResult):
     """(assignments [P, N], normalized weights [P]) for posterior summaries."""
     w = jax.nn.softmax(result.log_w)
     return result.particles.assignments, w
+
+
+# ---------------------------------------------------------------------------
+# block-SMC: the config-5 at-scale path (O(N/B) device steps)
+# ---------------------------------------------------------------------------
+# The row-sequential scheme above is O(N) sequential device steps — 10^6
+# steps at the BASELINE config-5 scale, unreachable on the axon tunnel and
+# the trigger of the round-2 worker crash.  Block-SMC absorbs rows in
+# blocks of B via the *blocked* conditional (truncated stick-breaking,
+# same target family as kernels/blocked.py):
+#
+#   extended target  γ_b(z_{1:bB}, w, θ) = p(w) p(θ) Π_i w_{z_i} f(x_i|θ)
+#   per block:  (1) Gibbs refresh (w, θ) ~ p(· | z_past, x_past)  [no
+#               weight change — invariant move];  (2) propose
+#               z_i ~ Cat_k(w_k f_k(x_i)) independently over the block
+#               (the locally-optimal proposal given (w, θ));  weight
+#               gain = Π_i Σ_k w_k f_k(x_i)  — exact for this proposal,
+#               so the running Z estimate stays unbiased for the
+#               truncated-SB evidence (→ DP evidence as K_max grows;
+#               Ishwaran–James truncation bound 4n·exp(−(K−1)/α)).
+#
+# Resampling is the same systematic scheme; rejuvenation redraws (w, θ)
+# and re-assigns `rejuvenation_blocks` random already-seated blocks — a
+# partially-collapsed blocked-Gibbs move, invariant for the current
+# target.  Only conjugate likelihoods (additive suffstats) are supported.
+
+
+def _check_block_smc_support(state: MixtureState):
+    for lik in state.likelihoods():
+        if getattr(lik, "latent_leaves", None) or not lik.conjugate:
+            raise ValueError(
+                f"block-SMC requires conjugate likelihoods with additive "
+                f"suffstats; got {lik.name}"
+            )
+
+
+def _pad_cols(data, n_pad):
+    out = []
+    for x, m in data:
+        pad = n_pad - x.shape[0]
+        xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        mp = jnp.pad(jnp.asarray(m, jnp.float32), (0, pad))
+        out.append((xp, mp))
+    return tuple(out)
+
+
+def _seat_block(p_state: MixtureState, blk_cols, valid, key):
+    """Seat one block in one particle: returns (state, z_blk, log-weight)."""
+    from common_tpu.kernels import blocked
+
+    thetas, logw, table = blocked.sweep_parts(p_state, blk_cols, key)
+    logp = logw[None, :] + table(blk_cols)  # [B, K]
+    g = jax.random.gumbel(
+        jax.random.fold_in(key, 2), logp.shape, logp.dtype
+    )
+    z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+    incr = jnp.sum(jnp.where(valid, logsumexp(logp, axis=-1), 0.0))
+
+    K = p_state.k_max
+    vz = jnp.where(valid, z, K)  # pad rows land in a discarded segment
+    counts = p_state.counts + jax.ops.segment_sum(
+        jnp.ones_like(vz), vz, num_segments=K + 1
+    )[:K].astype(p_state.counts.dtype)
+    new_stats = []
+    for (xb, mb), lik, hyper, s_f in zip(
+        blk_cols, p_state.likelihoods(), p_state.hypers, p_state.stats
+    ):
+        mb2 = jnp.asarray(mb, jnp.float32) * valid.astype(jnp.float32)
+        s_blk = lik.stats_from_assignments(hyper, xb, mb2, z, K)
+        new_stats.append({k: s_f[k] + s_blk[k] for k in s_f})
+    return (
+        dataclasses.replace(p_state, counts=counts, stats=tuple(new_stats)),
+        z,
+        incr,
+    )
+
+
+def _rejuv_block(p_state: MixtureState, blk_cols, z_old, valid, key):
+    """Re-assign one already-seated block given fresh (w, θ) draws."""
+    from common_tpu.kernels import blocked
+
+    thetas, logw, table = blocked.sweep_parts(p_state, blk_cols, key)
+    logp = logw[None, :] + table(blk_cols)
+    g = jax.random.gumbel(
+        jax.random.fold_in(key, 2), logp.shape, logp.dtype
+    )
+    z_new = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+
+    K = p_state.k_max
+    vz_new = jnp.where(valid, z_new, K)
+    vz_old = jnp.where(valid, z_old, K)
+    dc = (
+        jax.ops.segment_sum(jnp.ones_like(vz_new), vz_new,
+                            num_segments=K + 1)[:K]
+        - jax.ops.segment_sum(jnp.ones_like(vz_old), vz_old,
+                              num_segments=K + 1)[:K]
+    )
+    counts = p_state.counts + dc.astype(p_state.counts.dtype)
+    new_stats = []
+    for (xb, mb), lik, hyper, s_f in zip(
+        blk_cols, p_state.likelihoods(), p_state.hypers, p_state.stats
+    ):
+        mb2 = jnp.asarray(mb, jnp.float32) * valid.astype(jnp.float32)
+        s_new = lik.stats_from_assignments(hyper, xb, mb2, z_new, K)
+        s_old = lik.stats_from_assignments(hyper, xb, mb2, z_old, K)
+        new_stats.append({k: s_f[k] + s_new[k] - s_old[k] for k in s_f})
+    return (
+        dataclasses.replace(p_state, counts=counts, stats=tuple(new_stats)),
+        z_new,
+    )
+
+
+@partial(jax.jit, static_argnames=("block", "ess_threshold",
+                                   "rejuvenation_blocks"))
+def run_blocked(
+    particles: MixtureState,
+    data,
+    key,
+    block: int = 4096,
+    ess_threshold: float = 0.5,
+    rejuvenation_blocks: int = 1,
+) -> SMCResult:
+    """Block-SMC over all rows in O(N/block) device steps (config 5).
+
+    `particles` from `init_particles` ([P] leading axis).  The evidence
+    estimate targets the truncated stick-breaking model (the blocked-Gibbs
+    family's target); validated against exact enumeration and against the
+    row-sequential SMC in tests/test_smc.py.
+    """
+    _check_block_smc_support(particles)
+    n_p = particles.counts.shape[0]
+    n = particles.assignments.shape[-1]
+    nb = -(-n // block)
+    n_pad = nb * block
+    data_p = _pad_cols(data, n_pad)
+    particles = dataclasses.replace(
+        particles,
+        assignments=jnp.pad(
+            particles.assignments, ((0, 0), (0, n_pad - n)),
+            constant_values=-1,
+        ),
+    )
+    log_p = jnp.log(float(n_p))
+
+    def get_block(off):
+        cols = tuple(
+            (
+                jax.lax.dynamic_slice_in_dim(x, off, block),
+                jax.lax.dynamic_slice_in_dim(m, off, block),
+            )
+            for x, m in data_p
+        )
+        valid = (off + jnp.arange(block)) < n
+        return cols, valid
+
+    def write_block(parts, z_blk, off):
+        return dataclasses.replace(
+            parts,
+            assignments=jax.vmap(
+                lambda a, zb: jax.lax.dynamic_update_slice(a, zb, (off,))
+            )(parts.assignments, z_blk),
+        )
+
+    def block_step(carry, b):
+        parts, log_w, logz, n_res = carry
+        off = b * block
+        cols, valid = get_block(off)
+        kb = jax.random.fold_in(key, b)
+        keys = jax.random.split(jax.random.fold_in(kb, 0), n_p)
+        parts, z_blk, incr = jax.vmap(
+            lambda p, k: _seat_block(p, cols, valid, k)
+        )(parts, keys)
+        parts = write_block(parts, z_blk, off)
+        log_w = log_w + incr
+
+        ess = jnp.exp(log_ess(log_w))
+        do_res = ess < ess_threshold * n_p
+
+        def resample(args):
+            parts, log_w, logz, n_res = args
+            idx = systematic_resample(jax.random.fold_in(kb, 1), log_w)
+            parts = _gather_particles(parts, idx)
+            logz = logz + logsumexp(log_w) - log_p
+            log_w = jnp.zeros_like(log_w)
+            for r in range(rejuvenation_blocks):
+                kr = jax.random.fold_in(kb, 100 + r)
+                roff = jax.random.randint(kr, (), 0, b + 1) * block
+                rcols, rvalid = get_block(roff)
+                z_old = jax.vmap(
+                    lambda a: jax.lax.dynamic_slice(a, (roff,), (block,))
+                )(parts.assignments)
+                keys_r = jax.random.split(jax.random.fold_in(kr, 1), n_p)
+                parts, z_new = jax.vmap(
+                    lambda p, zo, k: _rejuv_block(p, rcols, zo, rvalid, k)
+                )(parts, z_old, keys_r)
+                parts = write_block(parts, z_new, roff)
+            return parts, log_w, logz, n_res + 1
+
+        parts, log_w, logz, n_res = jax.lax.cond(
+            do_res, resample, lambda a: a, (parts, log_w, logz, n_res)
+        )
+        return (parts, log_w, logz, n_res), ess
+
+    init = (
+        particles,
+        jnp.zeros(n_p),
+        jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
+    )
+    (particles, log_w, logz, n_res), ess_trace = jax.lax.scan(
+        block_step, init, jnp.arange(nb)
+    )
+    logz = logz + logsumexp(log_w) - log_p
+    particles = dataclasses.replace(
+        particles, assignments=particles.assignments[:, :n]
+    )
+    return SMCResult(particles, log_w, logz, n_res, ess_trace)
+
+
+def run_blocked_sharded(
+    mesh: Mesh,
+    particles: MixtureState,
+    data,
+    key,
+    block: int = 4096,
+    ess_threshold: float = 0.5,
+    rejuvenation_blocks: int = 1,
+) -> SMCResult:
+    """Block-SMC with the particle axis sharded over `mesh`.
+
+    Same collective-resampling layout as `run_sharded`: the [P] log-weight
+    vector is all_gathered (bytes) for a globally identical ESS check and
+    parent-index draw; particle state moves via all_gather + local slice.
+    """
+    _check_block_smc_support(particles)
+    n_dev = mesh.devices.size
+    n_p = particles.counts.shape[0]
+    if n_p % n_dev:
+        raise ValueError(f"n_particles {n_p} must divide over {n_dev} devices")
+    p_local = n_p // n_dev
+    n = particles.assignments.shape[-1]
+    nb = -(-n // block)
+    n_pad = nb * block
+    data = _pad_cols(data, n_pad)
+    particles = dataclasses.replace(
+        particles,
+        assignments=jnp.pad(
+            particles.assignments, ((0, 0), (0, n_pad - n)),
+            constant_values=-1,
+        ),
+    )
+    log_p = jnp.log(float(n_p))
+
+    def local_run(parts_blk, data_blk, key):
+        shard = jax.lax.axis_index(PARTICLES)
+
+        def get_block(off):
+            cols = tuple(
+                (
+                    jax.lax.dynamic_slice_in_dim(x, off, block),
+                    jax.lax.dynamic_slice_in_dim(m, off, block),
+                )
+                for x, m in data_blk
+            )
+            valid = (off + jnp.arange(block)) < n
+            return cols, valid
+
+        def write_block(parts, z_blk, off):
+            return dataclasses.replace(
+                parts,
+                assignments=jax.vmap(
+                    lambda a, zb: jax.lax.dynamic_update_slice(a, zb, (off,))
+                )(parts.assignments, z_blk),
+            )
+
+        def block_step(carry, b):
+            parts, log_w, logz, n_res = carry  # log_w: local [p_local]
+            off = b * block
+            cols, valid = get_block(off)
+            kb = jax.random.fold_in(key, b)
+            k_shard = jax.random.fold_in(kb, 10 + shard)
+            keys = jax.random.split(k_shard, p_local)
+            parts, z_blk, incr = jax.vmap(
+                lambda p, k: _seat_block(p, cols, valid, k)
+            )(parts, keys)
+            parts = write_block(parts, z_blk, off)
+            log_w = log_w + incr
+
+            log_w_all = jax.lax.all_gather(log_w, PARTICLES, tiled=True)
+            ess = jnp.exp(log_ess(log_w_all))
+            do_res = ess < ess_threshold * n_p
+
+            def resample(args):
+                parts, log_w, logz, n_res = args
+                idx = systematic_resample(
+                    jax.random.fold_in(kb, 1), log_w_all
+                )
+                local_idx = jax.lax.dynamic_slice_in_dim(
+                    idx, shard * p_local, p_local
+                )
+                parts_all = jax.tree_util.tree_map(
+                    lambda l: jax.lax.all_gather(l, PARTICLES, tiled=True),
+                    parts,
+                )
+                parts = jax.tree_util.tree_map(
+                    lambda l: l[local_idx], parts_all
+                )
+                logz = logz + logsumexp(log_w_all) - log_p
+                for r in range(rejuvenation_blocks):
+                    kr = jax.random.fold_in(kb, 100 + r)
+                    roff = jax.random.randint(kr, (), 0, b + 1) * block
+                    rcols, rvalid = get_block(roff)
+                    z_old = jax.vmap(
+                        lambda a: jax.lax.dynamic_slice(
+                            a, (roff,), (block,)
+                        )
+                    )(parts.assignments)
+                    keys_r = jax.random.split(
+                        jax.random.fold_in(kr, 11 + shard), p_local
+                    )
+                    parts, z_new = jax.vmap(
+                        lambda p, zo, k: _rejuv_block(p, rcols, zo, rvalid, k)
+                    )(parts, z_old, keys_r)
+                    parts = write_block(parts, z_new, roff)
+                return parts, jnp.zeros_like(log_w), logz, n_res + 1
+
+            parts, log_w, logz, n_res = jax.lax.cond(
+                do_res, resample, lambda a: a, (parts, log_w, logz, n_res)
+            )
+            return (parts, log_w, logz, n_res), ess
+
+        init = (
+            parts_blk,
+            jnp.zeros(p_local),
+            jnp.zeros(()),
+            jnp.zeros((), jnp.int32),
+        )
+        (parts, log_w, logz, n_res), ess_trace = jax.lax.scan(
+            block_step, init, jnp.arange(nb)
+        )
+        log_w_all = jax.lax.all_gather(log_w, PARTICLES, tiled=True)
+        logz = logz + logsumexp(log_w_all) - log_p
+        parts = dataclasses.replace(
+            parts, assignments=parts.assignments[:, :n]
+        )
+        return parts, log_w, logz, n_res, ess_trace
+
+    pspec = jax.tree_util.tree_map(lambda _: P(PARTICLES), particles)
+    dspec = jax.tree_util.tree_map(lambda _: P(), data)
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(pspec, dspec, P()),
+        out_specs=(pspec, P(PARTICLES), P(), P(), P()),
+        check_vma=False,
+    )
+    parts, log_w, logz, n_res, ess_trace = jax.jit(
+        sharded, static_argnames=()
+    )(particles, data, key)
+    return SMCResult(parts, log_w, logz, n_res, ess_trace)
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,150 @@ def test_smc_fixed_k():
     assert (np.asarray(res.particles.counts).sum(axis=-1) == n).all()
 
 
+def test_row_smc_scale_cap_guard():
+    """The row-sequential scan is fenced at ROW_SCAN_CAP (a 50k-row scan
+    crashed the axon TPU worker — BENCH_NOTES.md Incidents)."""
+    n = smc.ROW_SCAN_CAP + 1
+    defn = st.model_definition(n, [models.bb], k_max=4)
+    data = ((jnp.zeros(n), jnp.ones(n)),)
+    parts = smc.init_particles(defn, data, jax.random.key(0), 4,
+                               cluster_hp={"alpha": 1.0})
+    with pytest.raises(ValueError, match="safety cap"):
+        smc.run(parts, data, jax.random.key(1))
+
+
+def test_block_smc_evidence_matches_enumeration():
+    """Block-SMC log Z vs exact enumeration (truncation error at
+    K_max=16, n=6, alpha=1.3 is ~4n·exp(−15/1.3) ≈ 1e-4 — negligible)."""
+    n = 6
+    r = np.random.default_rng(0)
+    x = r.integers(0, 2, size=n)
+    defn = st.model_definition(n, [models.bb], k_max=16)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    chp = {"alpha": 1.3}
+    exact = _exact_log_evidence(defn, data, chp)
+
+    logzs = []
+    for seed in range(8):
+        parts = smc.init_particles(
+            defn, data, jax.random.key(seed), 256, cluster_hp=chp
+        )
+        res = smc.run_blocked(parts, data, jax.random.key(100 + seed),
+                              block=2)
+        logzs.append(float(res.logz))
+        counts = np.asarray(res.particles.counts)
+        assert (counts.sum(axis=-1) == n).all()
+        asg = np.asarray(res.particles.assignments)
+        assert asg.shape == (256, n)
+        assert (asg >= 0).all()
+    log_mean_z = sp_logsumexp(logzs) - np.log(len(logzs))
+    assert abs(log_mean_z - exact) < 0.12, (log_mean_z, exact, logzs)
+
+
+def test_block_smc_evidence_matches_enumeration_niw():
+    """Same oracle check with the headline NIW likelihood (d=2)."""
+    n = 5
+    r = np.random.default_rng(4)
+    x = r.normal(size=(n, 2)).astype(np.float32)
+    defn = st.model_definition(n, [models.niw(2)], k_max=16)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    chp = {"alpha": 1.0}
+    exact = _exact_log_evidence(defn, data, chp)
+
+    logzs = []
+    for seed in range(8):
+        parts = smc.init_particles(
+            defn, data, jax.random.key(seed), 256, cluster_hp=chp
+        )
+        res = smc.run_blocked(parts, data, jax.random.key(50 + seed),
+                              block=2)
+        logzs.append(float(res.logz))
+    log_mean_z = sp_logsumexp(logzs) - np.log(len(logzs))
+    assert abs(log_mean_z - exact) < 0.25, (log_mean_z, exact, logzs)
+
+
+@pytest.mark.slow
+def test_block_smc_matches_row_smc_moderate():
+    """At 64 rows the block path's evidence agrees with the row path's
+    (both unbiased in Z; truncation negligible at K_max=24)."""
+    n = 64
+    r = np.random.default_rng(7)
+    x = r.integers(0, 2, size=n)
+    defn = st.model_definition(n, [models.bb], k_max=24)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    chp = {"alpha": 1.0}
+
+    def mean_logz(runner, base):
+        logzs = []
+        for seed in range(6):
+            parts = smc.init_particles(
+                defn, data, jax.random.key(base + seed), 512,
+                cluster_hp=chp,
+            )
+            logzs.append(float(runner(parts, jax.random.key(7 + seed))))
+        return sp_logsumexp(logzs) - np.log(len(logzs)), logzs
+
+    row, _ = mean_logz(
+        lambda p, k: smc.run(p, data, k, rejuvenation_moves=1).logz, 0
+    )
+    blk, _ = mean_logz(
+        lambda p, k: smc.run_blocked(p, data, k, block=16).logz, 100
+    )
+    assert abs(row - blk) < 0.6, (row, blk)
+
+
+def test_block_smc_fixed_k():
+    n = 12
+    r = np.random.default_rng(2)
+    x = r.integers(0, 2, size=n)
+    defn = st.model_definition(n, [models.bb], k_max=3)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    parts = smc.init_particles(
+        defn, data, jax.random.key(0), 64,
+        cluster_hp={"alphas": np.full(3, 0.7, np.float32)}, fixed=True,
+    )
+    res = smc.run_blocked(parts, data, jax.random.key(1), block=4)
+    assert np.isfinite(float(res.logz))
+    assert (np.asarray(res.particles.counts).sum(axis=-1) == n).all()
+
+
+def test_block_smc_rejects_nonconjugate():
+    n = 6
+    defn = st.model_definition(n, [models.bbnc], k_max=4)
+    data = ((jnp.zeros(n), jnp.ones(n)),)
+    parts = smc.init_particles(defn, data, jax.random.key(0), 8,
+                               cluster_hp={"alpha": 1.0})
+    with pytest.raises(ValueError, match="conjugate"):
+        smc.run_blocked(parts, data, jax.random.key(1), block=2)
+
+
+def test_block_smc_sharded_matches_single_device(cpu_devices):
+    n = 6
+    r = np.random.default_rng(1)
+    x = r.integers(0, 2, size=n)
+    defn = st.model_definition(n, [models.bb], k_max=16)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    chp = {"alpha": 1.0}
+    exact = _exact_log_evidence(defn, data, chp)
+
+    mesh = smc.make_particle_mesh(devices=cpu_devices[:8])
+    logzs = []
+    with jax.default_device(cpu_devices[0]):
+        for seed in range(6):
+            parts = smc.init_particles(
+                defn, data, jax.random.key(seed), 256, cluster_hp=chp
+            )
+            parts, sdata = smc.shard_particles(mesh, parts, data)
+            res = smc.run_blocked_sharded(
+                mesh, parts, sdata, jax.random.key(400 + seed), block=2
+            )
+            logzs.append(float(res.logz))
+            counts = np.asarray(res.particles.counts)
+            assert (counts.sum(axis=-1) == n).all()
+    log_mean_z = sp_logsumexp(logzs) - np.log(len(logzs))
+    assert abs(log_mean_z - exact) < 0.15, (log_mean_z, exact, logzs)
+
+
 def test_posterior_sample_shape():
     defn, data = _small_problem(n=5)
     parts = smc.init_particles(defn, data, jax.random.key(0), 32,
