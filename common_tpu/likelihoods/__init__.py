@@ -16,6 +16,7 @@ from common_tpu.likelihoods.base import (  # noqa: F401
 )
 from common_tpu.likelihoods.bb import bb  # noqa: F401
 from common_tpu.likelihoods.bbnc import bbnc  # noqa: F401
+from common_tpu.likelihoods.bbv import bbv  # noqa: F401
 from common_tpu.likelihoods.bnb import bnb  # noqa: F401
 from common_tpu.likelihoods.dd import dd  # noqa: F401
 from common_tpu.likelihoods.dm import dm  # noqa: F401

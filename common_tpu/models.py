@@ -85,6 +85,21 @@ def niw(dim: int) -> model_descriptor:
     return model_descriptor(_lik.niw, hyper, rt.vector(rt.TYPE_F32, dim))
 
 
+def bbv(d: int) -> model_descriptor:
+    """d independent Beta-Bernoulli binary columns as ONE vector feature.
+
+    The TPU-native encoding of the reference's "d scalar bb features"
+    pattern (config-2 binary feature matrices): identical posterior,
+    per-column (alpha, beta) hypers, matmul-formulated scoring.
+    """
+    validator.validate_positive(d, "bbv columns")
+    return model_descriptor(
+        _lik.bbv,
+        {"alpha": np.ones(d, np.float32), "beta": np.ones(d, np.float32)},
+        rt.vector(rt.TYPE_B, d),
+    )
+
+
 def dd(n: int) -> model_descriptor:
     """Dirichlet–Discrete over n categories."""
     validator.validate_positive(n, "dd categories")

@@ -102,6 +102,33 @@ def test_blocked_gibbs_bb_matches_enumeration():
 
 
 @pytest.mark.slow
+def test_blocked_gibbs_bbv_matches_enumeration():
+    """bbv (vector Beta-Bernoulli) through the blocked sweep vs the
+    exact-enumeration oracle — the crown-jewel gate for the new model."""
+    r = np.random.default_rng(2)
+    n, d = 4, 3
+    defn = st.model_definition(n, [models.bbv(d)], k_max=16)
+    x = jnp.asarray(r.integers(0, 2, size=(n, d)).astype(np.float32))
+    data = ((x, jnp.ones(n)),)
+    chp = {"alpha": 1.0}
+    exact = exact_partition_posterior(
+        st.model_definition(n, [models.bbv(d)], k_max=5), data, chp
+    )
+    cache = {}
+
+    def sample_fn(nsweeps):
+        if nsweeps not in cache:
+            cache[nsweeps] = sampled_partitions(
+                defn, data, chp, ["assign_blocked"], nsweeps,
+                burnin=300, seed=len(cache),
+            )
+        return cache[nsweeps]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=6000, ntries=3, kl_tol=0.03
+    )
+
+
 def test_blocked_gibbs_niw_matches_enumeration():
     r = np.random.default_rng(2)
     n = 4

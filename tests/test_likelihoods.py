@@ -173,7 +173,53 @@ CASES = [
         {},
     ),
     ("niw2", models.niw(2), lambda r: r.normal(size=2).astype(np.float32), {}),
+    (
+        "bbv4",
+        models.bbv(4),
+        lambda r: r.integers(0, 2, size=4).astype(np.float32),
+        {},
+    ),
 ]
+
+
+def test_bbv_equals_d_scalar_bbs():
+    """bbv(d) is exactly d independent bb columns: marginals and
+    predictives must match the column-wise sum of scalar bb calls."""
+    r = np.random.default_rng(3)
+    d = 5
+    rows = [r.integers(0, 2, size=d).astype(np.float32) for _ in range(7)]
+    hv = models.bbv(d).with_hyper(
+        alpha=np.linspace(0.5, 2.0, d), beta=np.linspace(1.5, 0.7, d)
+    ).canonical_hyper()
+    sv = _stats_from_rows(lik.bbv, hv, rows)
+    x = r.integers(0, 2, size=d).astype(np.float32)
+
+    marg_cols, pred_cols = 0.0, 0.0
+    for j in range(d):
+        hj = {"alpha": hv["alpha"][j], "beta": hv["beta"][j]}
+        sj = _stats_from_rows(lik.bb, hj, [row[j] for row in rows])
+        marg_cols += float(lik.bb.marginal_loglik(hj, sj))
+        pred_cols += float(lik.bb.pred_logpdf(hj, sj, x[j]))
+    np.testing.assert_allclose(
+        float(lik.bbv.marginal_loglik(hv, sv)), marg_cols, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(lik.bbv.pred_logpdf(hv, sv, x)), pred_cols, rtol=1e-5
+    )
+
+
+def test_bbv_logpdf_batch_matmul_matches_rowwise():
+    r = np.random.default_rng(5)
+    d, n, k = 3, 6, 4
+    X = jnp.asarray(r.integers(0, 2, size=(n, d)).astype(np.float32))
+    p = jnp.asarray(r.uniform(0.1, 0.9, size=(k, d)).astype(np.float32))
+    mask = jnp.ones(n)
+    table = lik.bbv.logpdf_batch({"p": p}, X, mask)
+    ref_tab = np.array([
+        [float(lik.bbv.logpdf({"p": p[kk]}, X[i])) for kk in range(k)]
+        for i in range(n)
+    ])
+    np.testing.assert_allclose(np.asarray(table), ref_tab, rtol=1e-5)
 
 
 @pytest.mark.parametrize("name,desc,gen,_", CASES, ids=[c[0] for c in CASES])
