@@ -152,14 +152,20 @@ def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
     """Blocked sweep with the Pallas fused score+Gumbel+argmax kernel.
 
     Same sampler as `sweep`, but the [N, K] score table never touches HBM
-    (ops/gaussian_assign.py) and, with fused_restat, the scatter-matrix
-    rebuild streams X once per cluster tile instead of once per cluster
-    (ops/suffstat.py).  Restricted to a single NIW feature — the headline
-    1M-row dense-Gaussian configuration; other models use `sweep`.
+    and, with fused_restat, the scatter-matrix rebuild streams X once per
+    cluster tile instead of once per cluster (ops/suffstat.py).  Supported
+    models: a single ``niw`` feature (the headline 1M-row dense-Gaussian
+    configuration; ops/gaussian_assign.py) or a single ``bbv`` feature
+    (config-2 binary matrices; the linear-score kernel
+    ops/linear_assign.py).  Both the DP (stick-breaking) and fixed-K
+    (Dirichlet) weight paths are supported.  Other models use `sweep`.
     """
+    if state.lik_names == ("bbv",):
+        return _sweep_fused_bbv(state, data, key, tile_n, k_tile, interpret)
     if state.lik_names != ("niw",):
         raise ValueError(
-            f"sweep_fused supports a single niw feature, got {state.lik_names}"
+            "sweep_fused supports a single niw or bbv feature, got "
+            f"{state.lik_names}"
         )
     from jax.scipy.linalg import solve_triangular
 
@@ -213,6 +219,56 @@ def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
         x, zi, K, tile_n=tile_n, k_tile=k_tile, interpret=interpret
     )
     stats = {"n": n_stat, "sum_x": sum_x, "sum_xxT": sum_xxT}
+    return dataclasses.replace(
+        state, assignments=z, counts=counts, stats=(stats,)
+    )
+
+
+def _sweep_fused_bbv(state: MixtureState, data, key, tile_n, k_tile,
+                     interpret):
+    """bbv fused path: linear-score Pallas assign + matmul restat.
+
+    Score is affine in the row (log p(x|p_k) = x·logit(p_k) + Σ log(1−p_k))
+    so the fused kernel is ops/linear_assign.py; the restat for bbv is a
+    single [K, N] × [N, D] matmul (no scatter-matrix kernel needed).
+    """
+    from common_tpu.ops.linear_assign import fused_linear_assign
+
+    x, mask = data[0]
+    kth, kv, kz, km = jax.random.split(key, 4)
+    lik = state.likelihoods()[0]
+    theta = lik.sample_params(kth, state.hypers[0], state.stats[0])
+    p = theta["p"]  # [K, D]
+    lp = jnp.log(p)
+    lq = jnp.log1p(-p)
+    if state.fixed:
+        logw = dirichlet_log_weights(kv, state.counts, state.cluster_hp["alphas"])
+    else:
+        logw = stick_break_log_weights(
+            kv, state.counts, state.cluster_hp["alpha"].astype(jnp.float32)
+        )
+    base = logw + jnp.sum(lq, axis=-1)
+    seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+    z = fused_linear_assign(
+        jnp.asarray(x, jnp.float32), lp - lq, base, seed,
+        tile_n=tile_n, k_tile=k_tile, interpret=interpret,
+    )
+    # fully-masked rows carry no likelihood: assign from the weights alone
+    g = jax.random.gumbel(km, (x.shape[0], logw.shape[0]))
+    z_prior = jnp.argmax(logw[None, :] + g, axis=-1).astype(jnp.int32)
+    z = jnp.where(jnp.asarray(mask) > 0, z, z_prior)
+
+    K = state.k_max
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(z), z, num_segments=K
+    ).astype(jnp.int32)
+    m = jnp.asarray(mask, jnp.float32)
+    zi = jnp.where(m > 0, z, K)  # masked rows: counted, not accumulated
+    onehot = (zi[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    stats = {
+        "n": jnp.sum(onehot, axis=0),
+        "heads": onehot.T @ jnp.asarray(x, jnp.float32),
+    }
     return dataclasses.replace(
         state, assignments=z, counts=counts, stats=(stats,)
     )
