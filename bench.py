@@ -294,7 +294,7 @@ def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
             jax.random.split(jax.random.fold_in(key, c), c)
         )
 
-        def run(states, key):
+        def run(states, data, key):
             def body(ss, t):
                 kt = jax.random.fold_in(key, t)
                 ss = jax.vmap(
@@ -305,11 +305,11 @@ def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
             ss, _ = jax.lax.scan(body, states, jnp.arange(sweeps))
             return ss
 
-        compiled = jax.jit(run).lower(states, key).compile()
-        out = compiled(states, key)
+        compiled = jax.jit(run).lower(states, data, key).compile()
+        out = compiled(states, data, key)
         _fetch(out.counts)
         t0 = time.perf_counter()
-        out = compiled(states, key)
+        out = compiled(states, data, key)
         _fetch(out.counts)
         dt = time.perf_counter() - t0
         throughput[c] = c * sweeps / dt
@@ -326,9 +326,11 @@ def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
 
 
 def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
-    """BASELINE config 2: Beta-Bernoulli DPMM on a binary feature matrix,
-    blocked assignment sweep + slice sampling of (alpha, beta) feature
-    hypers and the CRP concentration, as one compiled scan."""
+    """BASELINE config 2: Beta-Bernoulli DPMM on an [n, d] binary feature
+    matrix (one bbv vector feature = the reference's d scalar bb columns),
+    blocked assignment sweep + coordinate-wise slice sampling of the
+    per-column (alpha, beta) hypers and the CRP concentration, as one
+    compiled scan."""
     import jax
     import jax.numpy as jnp
 
@@ -336,7 +338,7 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
     from common_tpu import state as st
     from common_tpu.kernels import blocked, slice_
 
-    defn = st.model_definition(n, [models.bb], k_max=k_max)
+    defn = st.model_definition(n, [models.bbv(d)], k_max=k_max)
 
     @jax.jit
     def gen(k):
@@ -350,18 +352,22 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
     state = st.initialize(
         defn, data, jax.random.fold_in(key, 1),
         cluster_hp={"alpha": 1.0},
-        feature_hps=[{"alpha": 1.0, "beta": 1.0}],
+        feature_hps=[{"alpha": jnp.ones(d), "beta": jnp.ones(d)}],
     )
+    # moderate bounds: with the *uncollapsed* sweep, slice-adapted
+    # per-column hypers below ~0.5 make empty-slot prior draws extreme
+    # (p ≈ 0/1 patterns) and the truncated sampler collapses to one
+    # cluster — bounded hypers keep cluster-seeding draws moderate
     specs = {0: {
         "alpha": {"prior": scalar_functions.log_exponential(1.0),
-                  "w": 0.5, "bounds": (1e-4, 1e4)},
+                  "w": 0.5, "bounds": (0.5, 50.0)},
         "beta": {"prior": scalar_functions.log_exponential(1.0),
-                 "w": 0.5, "bounds": (1e-4, 1e4)},
+                 "w": 0.5, "bounds": (0.5, 50.0)},
     }}
     cluster = {"prior": scalar_functions.log_exponential(1.0),
                "w": 0.5, "bounds": (1e-4, 1e4)}
 
-    def run(state, key):
+    def run(state, data, key):
         def body(s, t):
             kt = jax.random.fold_in(key, t)
             s = blocked.sweep(s, data, jax.random.fold_in(kt, 0))
@@ -372,12 +378,12 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
         return jax.lax.scan(body, state, jnp.arange(sweeps))
 
     t0 = time.perf_counter()
-    compiled = jax.jit(run).lower(state, key).compile()
+    compiled = jax.jit(run).lower(state, data, key).compile()
     compile_s = time.perf_counter() - t0
-    out, trace = compiled(state, jax.random.fold_in(key, 2))
+    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
     _fetch(out.counts)
     t0 = time.perf_counter()
-    out, trace = compiled(state, jax.random.fold_in(key, 2))
+    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
     _fetch(out.counts)
     dt = time.perf_counter() - t0
     import numpy as np
@@ -442,7 +448,7 @@ def run_config3_tier(key, n=100_000, k_max=32, sweeps=4):
         2: lambda h: exp1(h["alpha"]) + exp1(h["beta"]),
     }
 
-    def run(state, key):
+    def run(state, data, key):
         def body(s, t):
             kt = jax.random.fold_in(key, t)
             s = blocked.sweep(s, data, jax.random.fold_in(kt, 0))
@@ -455,12 +461,12 @@ def run_config3_tier(key, n=100_000, k_max=32, sweeps=4):
         return jax.lax.scan(body, state, jnp.arange(sweeps))
 
     t0 = time.perf_counter()
-    compiled = jax.jit(run).lower(state, jax.random.key(3)).compile()
+    compiled = jax.jit(run).lower(state, data, jax.random.key(3)).compile()
     compile_s = time.perf_counter() - t0
-    out, trace = compiled(state, jax.random.fold_in(key, 2))
+    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
     _fetch(out.counts)
     t0 = time.perf_counter()
-    out, trace = compiled(state, jax.random.fold_in(key, 2))
+    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
     _fetch(out.counts)
     dt = time.perf_counter() - t0
     import numpy as np
@@ -508,7 +514,10 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         data, k_topics, vocab, jax.random.fold_in(key, 1), n_docs=n_docs
     )
 
-    def run(state, key):
+    # data rides as an ARGUMENT, never a closure: closed-over arrays are
+    # baked into the HLO as constants, and the axon remote-compile
+    # endpoint rejects the resulting ~600 MB request (HTTP 413)
+    def run(state, data, key):
         def body(st, t):
             kt = jax.random.fold_in(key, t)
             st = topic.blocked_sweep(
@@ -522,12 +531,14 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         return jax.lax.scan(body, state, jnp.arange(sweeps))
 
     t0 = time.perf_counter()
-    run_c = jax.jit(run).lower(state, key).compile()
+    run_c = jax.jit(run, static_argnames=()).lower(
+        state, data, key
+    ).compile()
     compile_s = time.perf_counter() - t0
-    out, trace = run_c(state, key)
+    out, trace = run_c(state, data, key)
     _fetch(out.topic_total)  # warm-up + fence
     t0 = time.perf_counter()
-    out, trace = run_c(state, key)
+    out, trace = run_c(state, data, key)
     _fetch(out.topic_total)
     dt = time.perf_counter() - t0
 
@@ -716,6 +727,10 @@ def child_main(args):
     out_path = args.progress
     fp = open(out_path, "a", buffering=1)
     _emit(fp, {"event": "start", "pid": os.getpid(), "t": time.time()})
+    # absolute cutoff for optional work, anchored at child START (warmup
+    # included): once the parent's window is spent the child should wind
+    # down and free the single-client worker, not keep measuring
+    t_end = time.monotonic() + args.total_s - 30.0
 
     import jax
 
@@ -731,7 +746,6 @@ def child_main(args):
     _emit(fp, {"event": "warmup", "s": round(warm_s, 1), "device": device})
 
     deadline = time.monotonic() + args.budget_s
-    t_end = time.monotonic() + args.total_s - 30.0  # absolute child cutoff
 
     if args.n or args.d or args.k or args.sweeps:
         ladder = [(args.n or 100_000, args.d or 64, args.k or 32,

@@ -159,10 +159,21 @@ def hp(
     """Slice-resample hyperparameters (slice.hp).
 
     specs: {fid: {param: {'prior': logp fn, 'w': width, 'bounds': (lo,hi)}}}
-    — scalar hyperparameters only (the reference's slice.hp surface).
+    — scalar hyperparameters (the reference's slice.hp surface) or [d]
+    vector hypers (bbv/dd/dm alphas), which are slice-updated
+    coordinate-wise in parallel (valid exactly when the marginal
+    likelihood separates per coordinate — true for every registered
+    vector-hyper model).
     cluster: optional {'prior': fn, 'w': float, 'bounds': (lo,hi)} for the
     CRP concentration α.  The whole multi-parameter update runs as ONE
     jitted program, cached per spec structure (fn identities + widths).
+
+    Pairing note: with the *collapsed* assignment kernels any bounds
+    work; when pairing with the uncollapsed/blocked sweep, keep bounds
+    moderate (e.g. Beta hypers >= 0.5) — hyper draws fitted to mixed
+    early-sweep stats otherwise make empty-slot prior draws so extreme
+    that the truncated sampler collapses to one cluster and cannot seed
+    new ones.
     """
     del data  # scoring uses suffstats only
     sig = (_freeze_spec(specs), _freeze_spec(cluster))
@@ -189,15 +200,38 @@ def _hp_impl(
             kp = jax.random.fold_in(key, 1000 * (i + 1) + j)
             prior_fn = spec["prior"]
             lo, hi = spec.get("bounds", (-jnp.inf, jnp.inf))
+            x0 = jnp.asarray(hyper[pname])
 
-            def logf(v):
-                h = {**hyper, pname: v}
-                ml = lik.marginal_loglik(h, state.stats[fid])
-                return prior_fn(v) + jnp.sum(jnp.where(active, ml, 0.0))
+            if x0.ndim == 0:
+                def logf(v):
+                    h = {**hyper, pname: v}
+                    ml = lik.marginal_loglik(h, state.stats[fid])
+                    return prior_fn(v) + jnp.sum(jnp.where(active, ml, 0.0))
 
-            hyper[pname] = slice_sample(
-                kp, hyper[pname], logf, w=spec.get("w", 1.0), lower=lo, upper=hi
-            )
+                hyper[pname] = slice_sample(
+                    kp, x0, logf, w=spec.get("w", 1.0), lower=lo, upper=hi
+                )
+            else:
+                # Vector hyper (bbv/dd/dm alphas): coordinate-wise slice,
+                # all coordinates updated simultaneously.  Valid exactly
+                # when the marginal likelihood separates per coordinate
+                # (every registered vector-hyper model does) — then each
+                # coordinate's full conditional is independent of the rest.
+                def logf_coord(v, c):
+                    h = {**hyper, pname: x0.at[c].set(v)}
+                    ml = lik.marginal_loglik(h, state.stats[fid])
+                    return prior_fn(v) + jnp.sum(jnp.where(active, ml, 0.0))
+
+                def one(kc, x0c, c):
+                    return slice_sample(
+                        kc, x0c, lambda v: logf_coord(v, c),
+                        w=spec.get("w", 1.0), lower=lo, upper=hi,
+                    )
+
+                coords = jnp.arange(x0.shape[0])
+                hyper[pname] = jax.vmap(one)(
+                    jax.random.split(kp, x0.shape[0]), x0, coords
+                )
         new_hypers[fid] = hyper
     state = dataclasses.replace(state, hypers=tuple(new_hypers))
 

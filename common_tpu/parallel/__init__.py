@@ -4,6 +4,7 @@ from common_tpu.parallel.mesh import (  # noqa: F401
     CHAINS,
     DATA,
     data_pspec,
+    init_distributed,
     make_mesh,
     shard_state,
     state_pspec,

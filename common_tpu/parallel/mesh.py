@@ -26,6 +26,34 @@ from common_tpu import validator
 CHAINS, DATA = "chains", "data"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize the multi-host JAX runtime; returns this process's index.
+
+    The multi-host entry point (SURVEY.md §2.3/§5.8): on a TPU pod slice
+    each host process calls this ONCE before any jax computation, then
+    builds meshes over `jax.devices()` (which now spans all hosts) via
+    `make_mesh`.  On TPU pods all three arguments are auto-detected from
+    the TPU metadata; pass them explicitly on other platforms.  Safe to
+    call in single-process runs: if no distributed environment exists (or
+    it is already initialized) this is a no-op returning process 0.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process with no coordinator
+        if "already" not in str(e) and num_processes not in (None, 1):
+            raise
+    return jax.process_index()
+
+
 def make_mesh(
     chains: int = 1,
     data: int = 1,
