@@ -236,14 +236,24 @@ class NIW(base.Likelihood):
         z = jax.random.normal(km, (*batch, d), psi_n.dtype)
         mu = mu_n + jnp.einsum("...ij,...j->...i", M, z) / jnp.sqrt(kappa_n)[..., None]
         # canonical lower-tri Cholesky of Sigma = M Mᵀ for fast logpdf.
-        # Computed via QR of Mᵀ (Mᵀ = QR ⇒ Σ = RᵀR ⇒ chol(Σ) = Rᵀ with
-        # positive diag) — forming the Gram matrix and Cholesky-ing it
-        # NaNs in f32 for the heavy-tailed ν₀ = d + 2 prior draws
-        # (occasional ‖M‖ ~ 1e4 ⇒ Σ loses PSD-ness to rounding).
-        r = jnp.linalg.qr(jnp.swapaxes(M, -1, -2), mode="r")
-        sgn = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
-        sgn = jnp.where(sgn == 0, 1.0, sgn)
-        chol = jnp.swapaxes(r * sgn[..., :, None], -1, -2)
+        # For heavy-tailed ν₀ = d + 2 prior draws (empty clusters) the
+        # occasional ‖M‖ ~ 1e4 makes the f32 Gram matrix lose PSD-ness to
+        # rounding and cholesky returns NaN (~1e-2 of prior draws at
+        # d = 2); retry those slots with a relative diagonal jitter
+        # (1e-5 · mean diag ≫ the f32 rounding that broke PSD-ness, and
+        # statistically negligible on the affected extreme draws).  A
+        # QR-of-Mᵀ factorization would avoid the Gram matrix entirely but
+        # lowers poorly on TPU; cholesky is the proven-fast path.
+        sigma = jnp.einsum("...ij,...kj->...ik", M, M)
+        chol = jnp.linalg.cholesky(sigma)
+        bad = jnp.isnan(
+            jnp.diagonal(chol, axis1=-2, axis2=-1)
+        ).any(axis=-1)  # [*batch]
+        tr = jnp.einsum("...ii->...", sigma) / d
+        eye = jnp.eye(d, dtype=sigma.dtype)
+        jitter = (1e-5 * tr + 1e-30)[..., None, None] * eye
+        chol2 = jnp.linalg.cholesky(sigma + jitter)
+        chol = jnp.where(bad[..., None, None], chol2, chol)
         return {"mu": mu, "cov_chol": chol}
 
     def logpdf(self, theta, x):
