@@ -1,0 +1,44 @@
+"""Block-SMC: posterior + marginal likelihood for a DPMM in one pass.
+
+Config-5 shape (BASELINE.md): rows absorbed in blocks of B with particle
+weights tracking the model evidence — O(N/B) device steps, so 1M rows is
+~250 steps (measured 215k rows/s on one TPU v5 lite chip at 1M x 64).
+
+Run: python examples/smc_evidence.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from common_tpu import models, state as st
+from common_tpu.kernels import smc
+
+# synthetic 3-cluster Gaussian data
+r = np.random.default_rng(0)
+centers = np.array([[-4.0, 0.0], [4.0, 0.0], [0.0, 5.0]])
+zt = r.integers(0, 3, 5000)
+X = (centers[zt] + r.normal(scale=0.6, size=(5000, 2))).astype(np.float32)
+
+defn = st.model_definition(5000, [models.niw(2)], k_max=16)
+data = ((jnp.asarray(X), jnp.ones(5000)),)
+
+# 64 particles, blocks of 512 rows -> 10 device steps
+parts = smc.init_particles(defn, data, jax.random.key(0), 64,
+                           cluster_hp={"alpha": 1.0})
+res = smc.run_blocked(parts, data, jax.random.key(1), block=512)
+
+print(f"log evidence estimate: {float(res.logz):.1f}")
+print(f"resampling events:     {int(res.n_resamples)}")
+
+# one posterior partition sample ~ final particle weights
+s = smc.posterior_sample(jax.random.key(2), res)
+z = np.asarray(s.assignments)
+agree = ((z[:, None] == z[None, :]) == (zt[:, None] == zt[None, :])).mean()
+print(f"co-assignment agreement with truth: {agree:.3f}")
+print(f"clusters found: {int((np.asarray(s.counts) > 0).sum())}")
+
+# multi-chip: shard the particle axis over a mesh (collective resampling)
+#   mesh = smc.make_particle_mesh()
+#   parts, sdata = smc.shard_particles(mesh, parts, data)
+#   res = smc.run_blocked_sharded(mesh, parts, sdata, jax.random.key(1))
