@@ -29,9 +29,10 @@ Architecture (round-3 rework — VERDICT.md round-2 items 1, 4, 5, 8):
   default invocation, budget permitting, in priority order.  The CPU-mesh
   shard-scaling check and the numpy reference baseline run in the PARENT
   (pure-CPU work) in parallel with the child's TPU work.
-* **SMC stays opt-in and last** (--smc): a 50k-row row-sequential SMC scan
-  once crashed the axon worker outright (BENCH_NOTES.md "Incidents").  The
-  tier now measures the block-SMC path at config-5 scale.
+* **Block-SMC tier, default-on, always last.**  The tier measures the
+  block-SMC path at config-5 scale (100k rows; see kernels/smc.py).  The
+  row-sequential variant that crashed the axon worker at 50k rows in
+  round 2 is fenced at smc.ROW_SCAN_CAP and never runs here.
 
 vs_baseline: the reference (datamicroscopes) publishes no numbers
 (BASELINE.md), so the baseline is its *architecture* — a per-row collapsed
@@ -42,7 +43,8 @@ replicates and scaled to the full N (per-row cost is N-independent).
 Env knobs: BENCH_TOTAL_S (parent hard deadline, default 840),
 BENCH_WARMUP_S (first-contact window, default 480), BENCH_BUDGET_S
 (ladder budget, default 330), BENCH_FORCE_CPU=1 (no TPU child — CPU smoke
-only), BENCH_CHILD_CMD (test hook: substitute child command), BENCH_SKIP_HDP=1.
+only), BENCH_CHILD_CMD (test hook: substitute child command),
+BENCH_SKIP_HDP=1, BENCH_SKIP_SMC=1.
 
 Usage: python bench.py [--smoke] [--budget-s S] [--skip-baseline] [--smc]
                        [--n N --d D --k K --sweeps S]
@@ -892,9 +894,12 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
-    # 7. SMC (opt-in, LAST: the row-sequential variant once crashed the
-    # axon worker; block-SMC is far fewer device steps but stays fenced)
-    if args.smc and remaining() > 120.0:
+    # 7. block-SMC (config 5) — default-on since round 3, still LAST out
+    # of caution: the row-sequential variant once crashed the axon worker
+    # (that path is fenced at smc.ROW_SCAN_CAP); the block path has run
+    # clean at 100k and 1M rows (BENCH_NOTES.md round 3)
+    if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
+            and remaining() > 120.0):
         try:
             result["smc"] = run_smc_tier(100_000, 32, 32, 128,
                                          jax.random.key(5))
@@ -1137,8 +1142,8 @@ def main():
                     default=float(os.environ.get("BENCH_BUDGET_S", 330.0)))
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--smc", action="store_true",
-                    help="also measure block-SMC rows/s (config 5; runs "
-                    "last — see BENCH_NOTES.md Incidents)")
+                    help="(default-on) block-SMC rows/s tier (config 5; "
+                    "runs last — disable with BENCH_SKIP_SMC=1)")
     # accepted for CLI compatibility; these tiers are default-on now
     ap.add_argument("--hdp", action="store_true",
                     help="(default-on) HDP config-4 tier")
