@@ -866,17 +866,7 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "hdp", "err": repr(e)})
 
-    # 4. on-chip chain scaling (single-chip proxy for the >=0.8 north star)
-    if not args.smoke and remaining() > 90.0:
-        try:
-            result["chains_on_chip"] = run_chain_scaling_tier(
-                jax.random.key(11)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
-
-    # 5./6. configs 2-3 at their stated scale
+    # 4./5. configs 2-3 at their stated scale
     if not args.smoke and remaining() > 75.0:
         try:
             result["configs"]["config2"] = run_config2_tier(
@@ -894,10 +884,11 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
-    # 7. block-SMC (config 5) — default-on since round 3, still LAST out
-    # of caution: the row-sequential variant once crashed the axon worker
-    # (that path is fenced at smc.ROW_SCAN_CAP); the block path has run
-    # clean at 100k and 1M rows (BENCH_NOTES.md round 3)
+    # 6. block-SMC (config 5) — default-on since round 3.  The crash risk
+    # that once mandated running SMC dead-last was the row-sequential
+    # variant (now fenced at smc.ROW_SCAN_CAP); the block path has run
+    # clean at 100k and 1M rows (BENCH_NOTES.md round 3), so only the
+    # throwaway chains proxy runs after it.
     if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
             and remaining() > 120.0):
         try:
@@ -906,6 +897,17 @@ def child_main(args):
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "smc", "err": repr(e)})
+
+    # 7. on-chip chain scaling — lowest priority: the parent's CPU-mesh
+    # check already populates `efficiency`, so this proxy is a bonus
+    if not args.smoke and remaining() > 90.0:
+        try:
+            result["chains_on_chip"] = run_chain_scaling_tier(
+                jax.random.key(11)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
 
     _emit(fp, {"event": "final", "result": result})
 
