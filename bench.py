@@ -485,12 +485,12 @@ def run_config3_tier(key, n=100_000, k_max=32, sweeps=4):
 
 
 def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
-                 chunk=1 << 20):
+                 doc_chunk=20_000):
     """Config-4 scale: HDP-LDA blocked sweeps/s on an n_docs-doc corpus.
 
     Synthetic corpus generated on-device (equal-length docs, topic-block
-    vocab); one compiled scan of `sweeps` (chunked blocked sweep + beta
-    resample) is timed; reports sweeps/s and tokens/s.
+    vocab); one compiled scan of `sweeps` (dense doc-major blocked sweep
+    + beta resample) is timed; reports sweeps/s and tokens/s.
     """
     import jax
     import jax.numpy as jnp
@@ -503,27 +503,29 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
 
     @jax.jit
     def gen(key):
-        doc_ids = (jnp.arange(T, dtype=jnp.int32) // doc_len)
-        topic_of_doc = doc_ids % kb
+        topic_of_doc = jnp.arange(n_docs, dtype=jnp.int32) % kb
         block = vocab // kb
-        w = topic_of_doc * block + jax.random.randint(
-            key, (T,), 0, block, jnp.int32
+        w = topic_of_doc[:, None] * block + jax.random.randint(
+            key, (n_docs, doc_len), 0, block, jnp.int32
         )
-        return topic.TokenData(w, doc_ids, jnp.ones(T, jnp.float32))
+        return w
 
-    data = gen(jax.random.fold_in(key, 0))
+    words = gen(jax.random.fold_in(key, 0))
+    mask = jnp.ones((n_docs, doc_len), jnp.float32)
+    data = topic.dense_token_data(words, mask)
     state = topic.initialize(
         data, k_topics, vocab, jax.random.fold_in(key, 1), n_docs=n_docs
     )
 
-    # data rides as an ARGUMENT, never a closure: closed-over arrays are
+    # arrays ride as ARGUMENTS, never closures: closed-over arrays are
     # baked into the HLO as constants, and the axon remote-compile
     # endpoint rejects the resulting ~600 MB request (HTTP 413)
-    def run(state, data, key):
+    def run(state, words, mask, key):
         def body(st, t):
             kt = jax.random.fold_in(key, t)
-            st = topic.blocked_sweep(
-                st, data, jax.random.fold_in(kt, 0), chunk=chunk
+            st = topic.blocked_sweep_dense(
+                st, words, mask, jax.random.fold_in(kt, 0),
+                doc_chunk=doc_chunk,
             )
             st = topic.hdp._sample_beta_jit(
                 st, jax.random.fold_in(kt, 1), doc_len
@@ -533,14 +535,12 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         return jax.lax.scan(body, state, jnp.arange(sweeps))
 
     t0 = time.perf_counter()
-    run_c = jax.jit(run, static_argnames=()).lower(
-        state, data, key
-    ).compile()
+    run_c = jax.jit(run).lower(state, words, mask, key).compile()
     compile_s = time.perf_counter() - t0
-    out, trace = run_c(state, data, key)
+    out, trace = run_c(state, words, mask, key)
     _fetch(out.topic_total)  # warm-up + fence
     t0 = time.perf_counter()
-    out, trace = run_c(state, data, key)
+    out, trace = run_c(state, words, mask, key)
     _fetch(out.topic_total)
     dt = time.perf_counter() - t0
 

@@ -13,6 +13,8 @@ from common_tpu.topic.hdp import (  # noqa: F401
     sample_concentrations,
     score_joint,
     shard_corpus,
+    blocked_sweep_dense,
+    dense_token_data,
     token_data,
 )
 from common_tpu.topic import svi  # noqa: F401

@@ -416,6 +416,71 @@ def test_sharded_sweep_matches_z_enumeration(cpu_devices):
     )
 
 
+def test_blocked_dense_matches_z_enumeration():
+    """blocked_sweep_dense (rectangular doc-major fast path) has the same
+    stationary z distribution as enumeration, beta fixed."""
+    import dataclasses
+
+    words = jnp.asarray([[0, 0, 1], [1, 1, 0]], jnp.int32)  # [D=2, L=3]
+    mask = jnp.ones((2, 3))
+    data = topic.dense_token_data(words, mask)
+    K = 2
+    state = topic.initialize(data, K, 2, jax.random.key(0),
+                             alpha=0.8, eta=0.5, n_docs=2)
+    state = dataclasses.replace(state, beta=jnp.asarray([0.5, 0.3, 0.2]))
+
+    combos, scores = [], []
+    for z in itertools.product(range(K), repeat=6):
+        s = _state_with_z(state, data, z)
+        combos.append(z)
+        scores.append(float(topic.score_joint(s)))
+    exact = dict(zip(combos, np.exp(scores - sp_logsumexp(scores))))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(s, key, n):
+        def body(st, k):
+            st = topic.blocked_sweep_dense(st, words, mask, k, doc_chunk=1)
+            return st, st.z
+
+        return jax.lax.scan(body, s, jax.random.split(key, n))
+
+    cache = {}
+
+    def sample_fn(n):
+        if n not in cache:
+            s0 = _state_with_z(
+                state, data,
+                np.asarray(jax.random.randint(
+                    jax.random.key(len(cache) + 7), (6,), 0, K
+                )),
+            )
+            _, zs = chain(s0, jax.random.key(len(cache) + 60), n + 100)
+            cache[n] = [tuple(int(v) for v in z) for z in np.asarray(zs)[100:]]
+        return cache[n]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
+    )
+
+
+def test_blocked_dense_masked_tokens_inert():
+    """Padding tokens keep their z and contribute to no count table."""
+    r = np.random.default_rng(3)
+    words = jnp.asarray(r.integers(0, 10, (5, 4)), jnp.int32)
+    mask = jnp.asarray((r.uniform(size=(5, 4)) < 0.7), jnp.float32)
+    data = topic.dense_token_data(words, mask)
+    s = topic.initialize(data, 3, 10, jax.random.key(0), n_docs=5)
+    s2 = topic.blocked_sweep_dense(s, words, mask, jax.random.key(1))
+    z0 = np.asarray(s.z).reshape(5, 4)
+    z1 = np.asarray(s2.z).reshape(5, 4)
+    m = np.asarray(mask)
+    assert (z1[m == 0] == z0[m == 0]).all()
+    assert float(np.asarray(s2.doc_topic).sum()) == float(m.sum())
+    assert float(np.asarray(s2.topic_word).sum()) == float(m.sum())
+
+
 def test_blocked_chunked_matches_z_enumeration():
     """The chunked blocked sweep (config-4 memory path) has the same
     stationary z distribution as brute-force enumeration, beta fixed."""
