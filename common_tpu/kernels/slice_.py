@@ -160,10 +160,8 @@ def hp(
 
     specs: {fid: {param: {'prior': logp fn, 'w': width, 'bounds': (lo,hi)}}}
     — scalar hyperparameters (the reference's slice.hp surface) or [d]
-    vector hypers (bbv/dd/dm alphas), which are slice-updated
-    coordinate-wise in parallel (valid exactly when the marginal
-    likelihood separates per coordinate — true for every registered
-    vector-hyper model).
+    vector hypers (bbv/dd/dm alphas), slice-updated coordinate-wise as a
+    sequential Gibbs scan (correct for coupled marginals like dd/dm's).
     cluster: optional {'prior': fn, 'w': float, 'bounds': (lo,hi)} for the
     CRP concentration α.  The whole multi-parameter update runs as ONE
     jitted program, cached per spec structure (fn identities + widths).
@@ -212,25 +210,33 @@ def _hp_impl(
                     kp, x0, logf, w=spec.get("w", 1.0), lower=lo, upper=hi
                 )
             else:
-                # Vector hyper (bbv/dd/dm alphas): coordinate-wise slice,
-                # all coordinates updated simultaneously.  Valid exactly
-                # when the marginal likelihood separates per coordinate
-                # (every registered vector-hyper model does) — then each
-                # coordinate's full conditional is independent of the rest.
-                def logf_coord(v, c):
-                    h = {**hyper, pname: x0.at[c].set(v)}
-                    ml = lik.marginal_loglik(h, state.stats[fid])
-                    return prior_fn(v) + jnp.sum(jnp.where(active, ml, 0.0))
+                # Vector hyper (bbv/dd/dm alphas): coordinate-wise slice
+                # as a SEQUENTIAL Gibbs scan — each coordinate's slice
+                # conditions on the already-updated values of the others.
+                # (A simultaneous vmap update would only be valid for
+                # coordinate-separable marginals like bbv's; dd/dm's
+                # lnΓ(Σα) couples coordinates, so sequential is the
+                # correct general path and costs one fused scan.)
+                def coord_step(vec, inp):
+                    c, kc = inp
 
-                def one(kc, x0c, c):
-                    return slice_sample(
-                        kc, x0c, lambda v: logf_coord(v, c),
+                    def logf_c(v):
+                        h = {**hyper, pname: vec.at[c].set(v)}
+                        ml = lik.marginal_loglik(h, state.stats[fid])
+                        return prior_fn(v) + jnp.sum(
+                            jnp.where(active, ml, 0.0)
+                        )
+
+                    new_v = slice_sample(
+                        kc, vec[c], logf_c,
                         w=spec.get("w", 1.0), lower=lo, upper=hi,
                     )
+                    return vec.at[c].set(new_v), None
 
                 coords = jnp.arange(x0.shape[0])
-                hyper[pname] = jax.vmap(one)(
-                    jax.random.split(kp, x0.shape[0]), x0, coords
+                hyper[pname], _ = jax.lax.scan(
+                    coord_step, x0,
+                    (coords, jax.random.split(kp, x0.shape[0])),
                 )
         new_hypers[fid] = hyper
     state = dataclasses.replace(state, hypers=tuple(new_hypers))

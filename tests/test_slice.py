@@ -130,3 +130,51 @@ def test_neal8_bbnc_with_slice_theta_matches_enumeration():
     testutil.assert_discrete_dist_approx(
         sample_fn, exact, nsamples=4000, ntries=3, kl_tol=0.03
     )
+
+
+@pytest.mark.slow
+def test_vector_hyper_slice_dd_matches_quadrature():
+    """Coordinate-scan slice over dd's COUPLED alpha vector: the sampled
+    (alpha0, alpha1) posterior means must match 2-D quadrature.  (dd's
+    marginal has a lnGamma(sum alpha) term, so a simultaneous per-
+    coordinate update would be invalid — this pins the sequential scan.)"""
+    from common_tpu import scalar_functions as sf
+
+    r = np.random.default_rng(0)
+    n = 24
+    x = r.integers(0, 2, size=n)
+    defn = st.model_definition(n, [models.dd(2)], k_max=4)
+    data = ((jnp.asarray(x, jnp.int32), jnp.ones(n)),)
+    z0 = jnp.asarray(r.integers(0, 2, size=n), jnp.int32)
+    state0 = st.initialize(defn, data, jax.random.key(0),
+                           cluster_hp={"alpha": 1.0}, assignment=z0)
+    lik = state0.likelihoods()[0]
+    prior = sf.log_exponential(1.0)
+
+    # quadrature posterior of (a0, a1) | z fixed
+    grid = np.linspace(0.02, 8.0, 120)
+    G0, G1 = np.meshgrid(grid, grid, indexing="ij")
+    logp = np.zeros_like(G0)
+    active = np.asarray(state0.counts) > 0
+    for i in range(len(grid)):
+        for j in range(len(grid)):
+            h = {"alphas": jnp.asarray([grid[i], grid[j]], jnp.float32)}
+            ml = np.asarray(lik.marginal_loglik(h, state0.stats[0]))
+            logp[i, j] = (ml[active].sum() + float(prior(grid[i]))
+                          + float(prior(grid[j])))
+    w = np.exp(logp - logp.max())
+    w /= w.sum()
+    mean_quad = np.array([(w * G0).sum(), (w * G1).sum()])
+
+    specs = {0: {"alphas": {"prior": prior, "w": 1.0,
+                            "bounds": (0.02, 8.0)}}}
+    s = state0
+    draws = []
+    for t in range(600):
+        s = slice_.hp(s, data, jax.random.fold_in(jax.random.key(5), t),
+                      specs)
+        if t >= 100:
+            draws.append(np.asarray(s.hypers[0]["alphas"]))
+    mean_mcmc = np.mean(draws, axis=0)
+    assert np.allclose(mean_mcmc, mean_quad, rtol=0.12), (
+        mean_mcmc, mean_quad)
