@@ -144,6 +144,26 @@ def test_cavi_bb_elbo_monotone():
     assert (np.diff(elbos) > -1e-2 * np.abs(elbos[1:])).all()
 
 
+def test_cavi_bbv_elbo_monotone_and_recovers():
+    """bbv rides the generic expfam SVI path (autodiff of its vector
+    log-partition): ELBO monotone and planted binary blocks recovered."""
+    n, d = 400, 8
+    r = np.random.default_rng(4)
+    z = r.integers(0, 2, n)
+    probs = np.where(r.uniform(size=(2, d)) < 0.5, 0.1, 0.9)
+    x = (r.uniform(size=(n, d)) < probs[z]).astype(np.float32)
+    defn = st.model_definition(n, [models.bbv(d)], k_max=6)
+    data = ((jnp.asarray(x), jnp.ones(n)),)
+    post = svi.init(defn, data, jax.random.key(2), cluster_hp={"alpha": 1.0})
+    post, elbos = svi.fit_cavi(post, data, 40)
+    elbos = np.asarray(elbos)
+    assert (np.diff(elbos) > -1e-2 * np.abs(elbos[1:])).all()
+    hard = svi.to_state(post, data)
+    zz = np.asarray(hard.assignments)
+    agree = ((zz[:, None] == zz[None, :]) == (z[:, None] == z[None, :])).mean()
+    assert agree > 0.9, agree
+
+
 def test_fixed_k_dirichlet_mode():
     defn, data, z = _gaussian_problem(k_max=3)
     post = svi.init(
