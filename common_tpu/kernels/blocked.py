@@ -217,7 +217,8 @@ def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
     zi = jnp.where(m > 0, z, K)  # masked rows: counted, not accumulated
     onehot = (zi[:, None] == jnp.arange(K)[None, :]).astype(x.dtype)
     n_stat = jnp.sum(onehot, axis=0)
-    sum_x = onehot.T @ x
+    # f32-accurate: the TPU default matmul is single-pass bf16 (measured)
+    sum_x = jnp.matmul(onehot.T, x, precision="float32")
     sum_xxT = fused_scatter_stats(
         x, zi, K, tile_n=tile_n, k_tile=k_tile, interpret=interpret
     )

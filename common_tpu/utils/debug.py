@@ -63,3 +63,27 @@ def replay_key(key, *coords):
     for c in coords:
         key = jax.random.fold_in(key, c)
     return key
+
+
+@contextlib.contextmanager
+def strict_matmul_precision():
+    """Force f32x3 ("highest") matmul precision for every XLA dot.
+
+    TPU numerics (measured on v5e, see BENCH_NOTES.md): the MXU's DEFAULT
+    f32 matmul is a single-pass bf16 op (~0.4% input truncation).  For
+    this library's samplers the perturbation is statistically benign
+    (suffstat accumulations average truncation error down with cluster
+    size; score-logit noise is ~0.1-0.3 nat at D=256, below the sampled
+    Gumbel noise), and the distributional TPU tests pass under it — but
+    bit-level reproducibility studies or reference comparisons can opt
+    into full precision here at ~2x matmul cost.  (The Pallas kernels
+    take their own `precision` argument.)
+    """
+    import jax
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        yield
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)

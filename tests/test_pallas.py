@@ -314,6 +314,17 @@ def test_tpu_headline_shape_d256_k64():
         got = np.asarray(fused_scatter_stats(
             X, jnp.asarray(z), k, tile_n=1024, k_tile=8,
         ))
+        got_strict = np.asarray(fused_scatter_stats(
+            X, jnp.asarray(z), k, tile_n=1024, k_tile=8,
+            precision="highest",
+        ))
     Xh = np.asarray(X)
     want = np.stack([Xh[z == kk].T @ Xh[z == kk] for kk in range(k)])
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-2)
+    # default precision: the MXU's single-pass-bf16 truncation averages
+    # down with cluster size (~1e-4 relative at n/k=256 — measured; see
+    # ops/suffstat.py numerics note)
+    np.testing.assert_allclose(
+        got, want, rtol=2e-3, atol=1.0 * np.abs(want).mean() * 1e-2
+    )
+    # strict mode must reach f32x3 accuracy
+    np.testing.assert_allclose(got_strict, want, rtol=1e-4, atol=5e-2)
