@@ -350,6 +350,15 @@ def run_blocked(
     estimate targets the truncated stick-breaking model (the blocked-Gibbs
     family's target); validated against exact enumeration and against the
     row-sequential SMC in tests/test_smc.py.
+
+    rejuvenation_blocks: blocked-Gibbs re-assignment of this many random
+    seated blocks after each resampling event.  The log-Z estimate is
+    unbiased at ANY setting (including 0); the default 1 keeps throughput
+    high.  For posterior summaries computed from the final particle
+    CLOUD (e.g. weighted co-assignment), raise it — ancestry degeneracy
+    otherwise leaves the cloud nearly degenerate (measured vs collapsed
+    Gibbs at n=600: mean co-assignment gap 0.23 at 1, 0.035 at 4, 0.015
+    at 8; tests/test_cross_sampler.py pins 6).
     """
     _check_block_smc_support(particles)
     n_p = particles.counts.shape[0]
