@@ -14,6 +14,8 @@ from common_tpu.topic.hdp import (  # noqa: F401
     score_joint,
     shard_corpus,
     blocked_sweep_dense,
+    make_sharded_sweep_dense,
+    shard_dense_corpus,
     dense_token_data,
     token_data,
 )

@@ -499,6 +499,103 @@ def shard_corpus(mesh, state: HDPState, data: TokenData):
     return state, data
 
 
+def shard_dense_corpus(mesh, state: HDPState, words, mask):
+    """Place a dense [D, L] corpus + state for `make_sharded_sweep_dense`:
+    words/mask/z/doc_topic sharded by docs over the mesh's last axis,
+    everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    state = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, rep), state
+    )
+    state = dataclasses.replace(
+        state,
+        z=jax.device_put(state.z, sh),
+        doc_topic=jax.device_put(state.doc_topic, sh),
+    )
+    return state, jax.device_put(words, sh), jax.device_put(mask, sh)
+
+
+def make_sharded_sweep_dense(mesh, state: HDPState, words, mask):
+    """Multi-chip dense doc-major sweep: DOCS sharded over the mesh's last
+    axis (the fast-path analog of `make_sharded_sweep`'s token sharding).
+
+    words/mask: [D, L] rectangular corpus (state initialized from
+    `dense_token_data`, so z is row-major-flat and shards into contiguous
+    doc blocks).  Per-doc theta draws and the doc_topic table are fully
+    shard-local; phi draws replicate (same key on every shard); the
+    topic_word/topic_total rebuild is the only collective (`psum` over
+    the doc axis, riding ICI).  D must divide by the shard count.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    nsh = mesh.shape[axis]
+    D, K, V = state.n_docs, state.n_topics, state.vocab_size
+    L = words.shape[1]
+    if D % nsh:
+        raise ValueError(f"n_docs {D} must divide over {nsh} shards")
+    state_spec = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: P(), state),
+        z=P(axis), doc_topic=P(axis),
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis), P(axis), P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    def sweep(state, w_blk, m_blk, key):
+        shard = jax.lax.axis_index(axis)
+        kd, kz = jax.random.split(key)
+        d_loc = w_blk.shape[0]
+        # phi: replicated draw (same key everywhere); theta: local docs
+        eta = state.hypers["eta"]
+        alpha = state.hypers["alpha"]
+        phi = jax.random.dirichlet(
+            jax.random.fold_in(kd, 0), state.topic_word + eta
+        )
+        conc = state.doc_topic + alpha * state.beta[:K][None, :]
+        theta = jax.random.dirichlet(
+            jax.random.fold_in(jax.random.fold_in(kd, 1), shard), conc
+        )  # [d_loc, K]
+        log_phi_t = jnp.log(jnp.clip(phi, 1e-30)).T  # [V, K]
+        log_theta = jnp.log(jnp.clip(theta, 1e-30))
+
+        logp = log_theta[:, None, :] + log_phi_t[w_blk]  # [d_loc, L, K]
+        g = jax.random.gumbel(
+            jax.random.fold_in(kz, shard), logp.shape, logp.dtype
+        )
+        zc = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)
+        z_old = state.z.reshape(d_loc, L)
+        zc = jnp.where(m_blk > 0, zc, z_old)
+
+        zi = jnp.where(m_blk > 0, zc, K)
+        oh = (zi[..., None] == jnp.arange(K)).astype(jnp.float32)
+        dk = jnp.sum(oh, axis=1)  # [d_loc, K] — shard-local
+
+        valid = m_blk.reshape(-1) > 0
+        zf = zc.reshape(-1)
+        flat_kw = jnp.where(valid, zf * V + w_blk.reshape(-1), K * V)
+        kw = jax.ops.segment_sum(
+            jnp.ones_like(zf, jnp.float32), flat_kw,
+            num_segments=K * V + 1,
+        )[: K * V].reshape(K, V)
+        kw = jax.lax.psum(kw, axis)
+        return dataclasses.replace(
+            state, z=zf, doc_topic=dk, topic_word=kw,
+            topic_total=jnp.sum(kw, axis=-1),
+        )
+
+    return sweep
+
+
 def make_sharded_sweep(mesh, state: HDPState, data: TokenData):
     """Jitted multi-chip blocked sweep: local token reassignment + psum'd
     count-table rebuild over the 'data' mesh axis (ICI collective)."""

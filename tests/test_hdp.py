@@ -481,6 +481,64 @@ def test_blocked_dense_masked_tokens_inert():
     assert float(np.asarray(s2.topic_word).sum()) == float(m.sum())
 
 
+def test_sharded_dense_matches_z_enumeration(cpu_devices):
+    """Doc-sharded dense sweep on the 8-device mesh: same stationary z
+    distribution as enumeration, beta fixed (2 docs over 2 shards)."""
+    import dataclasses
+
+    from common_tpu import parallel
+
+    words = jnp.asarray([[0, 0, 1], [1, 1, 0]], jnp.int32)
+    mask = jnp.ones((2, 3))
+    data = topic.dense_token_data(words, mask)
+    K = 2
+    state = topic.initialize(data, K, 2, jax.random.key(0),
+                             alpha=0.8, eta=0.5, n_docs=2)
+    state = dataclasses.replace(state, beta=jnp.asarray([0.5, 0.3, 0.2]))
+
+    combos, scores = [], []
+    for z in itertools.product(range(K), repeat=6):
+        s = _state_with_z(state, data, z)
+        combos.append(z)
+        scores.append(float(topic.score_joint(s)))
+    exact = dict(zip(combos, np.exp(scores - sp_logsumexp(scores))))
+
+    mesh = parallel.make_mesh(chains=1, data=2, devices=cpu_devices[:2])
+    cache = {}
+
+    def sample_fn(n):
+        if n not in cache:
+            with jax.default_device(cpu_devices[0]):
+                s0 = _state_with_z(
+                    state, data,
+                    np.asarray(jax.random.randint(
+                        jax.random.key(len(cache) + 3), (6,), 0, K
+                    )),
+                )
+                s0, w_s, m_s = topic.shard_dense_corpus(
+                    mesh, s0, words, mask
+                )
+                sweep = topic.make_sharded_sweep_dense(mesh, s0, w_s, m_s)
+
+                from functools import partial
+
+                @partial(jax.jit, static_argnames=("n",))
+                def chain(s, key, n):
+                    def body(st, k):
+                        st = sweep(st, w_s, m_s, k)
+                        return st, st.z
+
+                    return jax.lax.scan(body, s, jax.random.split(key, n))
+
+                _, zs = chain(s0, jax.random.key(len(cache) + 40), n + 100)
+            cache[n] = [tuple(int(v) for v in z) for z in np.asarray(zs)[100:]]
+        return cache[n]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
+    )
+
+
 def test_blocked_chunked_matches_z_enumeration():
     """The chunked blocked sweep (config-4 memory path) has the same
     stationary z distribution as brute-force enumeration, beta fixed."""
