@@ -6,3 +6,4 @@ from common_tpu.io.checkpoint import (  # noqa: F401
     save,
     serialize,
 )
+from common_tpu.io.loader import load_csv_f32  # noqa: F401,E402

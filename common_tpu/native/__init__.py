@@ -22,16 +22,20 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "partition.cpp")
+_SRCS = [os.path.join(_HERE, n) for n in ("partition.cpp", "loader.cpp")]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
 def _source_tag() -> Optional[str]:
+    h = hashlib.sha256()
     try:
-        with open(_SRC, "rb") as f:
-            return hashlib.sha256(f.read()).hexdigest()[:16]
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                h.update(f.read())
     except OSError:
         return None
+    return h.hexdigest()[:16]
 
 
 def _build() -> Optional[str]:
@@ -59,7 +63,8 @@ def _build() -> Optional[str]:
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+           + _SRCS + ["-o", tmp])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -92,6 +97,21 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ct_canonicalize.argtypes = [i32p, ctypes.c_int64, ctypes.c_int, i32p]
     lib.ct_rank.restype = None
     lib.ct_rank.argtypes = [i32p, ctypes.c_int64, ctypes.c_int, i64p]
+    # CSV loader (loader.cpp) — guarded: a prebuilt .so from an older
+    # source set may lack the symbols
+    try:
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.ct_csv_shape.restype = ctypes.c_long
+        lib.ct_csv_shape.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)
+        ]
+        lib.ct_csv_load_f32.restype = ctypes.c_long
+        lib.ct_csv_load_f32.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 

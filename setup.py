@@ -18,7 +18,7 @@ from setuptools import Command, setup
 class build_native(Command):
     """Prebuild the ctypes shared library next to the package source."""
 
-    description = "compile common_tpu/native/partition.cpp with g++"
+    description = "compile common_tpu/native/*.cpp with g++"
     user_options = []
 
     def initialize_options(self):
@@ -31,7 +31,10 @@ class build_native(Command):
         import hashlib
 
         here = os.path.dirname(os.path.abspath(__file__))
-        src = os.path.join(here, "common_tpu", "native", "partition.cpp")
+        srcs = [
+            os.path.join(here, "common_tpu", "native", n)
+            for n in ("partition.cpp", "loader.cpp")
+        ]
         out = os.path.join(here, "common_tpu", "native", "partition_prebuilt.so")
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
         print(" ".join(cmd))

@@ -84,3 +84,59 @@ def test_testutil_uses_native_consistently():
     batch = testutil.canonicalize_batch(arr)
     scalar = [testutil.permutation_canonical(row) for row in arr]
     assert batch == scalar
+
+
+def test_csv_loader_matches_numpy(tmp_path):
+    """Native multithreaded CSV parse == numpy parse (values + shape),
+    across separators, comments, and blank lines."""
+    import numpy as np
+
+    from common_tpu.io import load_csv_f32
+
+    r = np.random.default_rng(0)
+    X = r.normal(size=(500, 7)).astype(np.float32)
+    p = tmp_path / "rows.csv"
+    with open(p, "w") as f:
+        f.write("# header comment\n\n")
+        for i, row in enumerate(X):
+            sep = [", ", ";", "\t", " "][i % 4]
+            f.write(sep.join(f"{v:.7g}" for v in row) + "\n")
+    got = load_csv_f32(str(p), n_threads=3)
+    assert got.shape == X.shape
+    np.testing.assert_allclose(got, X, rtol=1e-5)
+
+
+def test_csv_loader_ragged_raises(tmp_path):
+    import pytest as _pytest
+
+    from common_tpu import native
+    from common_tpu.io import load_csv_f32
+
+    p = tmp_path / "bad.csv"
+    with open(p, "w") as f:
+        f.write("1,2,3\n4,5\n")
+    if native._load() is not None and hasattr(native._load(), "ct_csv_shape"):
+        with _pytest.raises(ValueError, match="ragged"):
+            load_csv_f32(str(p))
+    else:  # numpy fallback raises its own error type
+        with _pytest.raises(Exception):
+            load_csv_f32(str(p))
+
+
+def test_csv_loader_fallback_parity(tmp_path, monkeypatch):
+    """COMMON_TPU_NO_NATIVE=1 path returns the same values."""
+    import numpy as np
+
+    import common_tpu.native as native
+    from common_tpu.io import load_csv_f32
+
+    r = np.random.default_rng(1)
+    X = r.normal(size=(40, 3)).astype(np.float32)
+    p = tmp_path / "rows2.csv"
+    np.savetxt(p, X, delimiter=",", fmt="%.7g")
+    a = load_csv_f32(str(p))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    b = load_csv_f32(str(p))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert b.dtype == np.float32
