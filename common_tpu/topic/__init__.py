@@ -17,6 +17,7 @@ from common_tpu.topic.hdp import (  # noqa: F401
     make_sharded_sweep_dense,
     shard_dense_corpus,
     dense_token_data,
+    densify_corpus,
     token_data,
 )
 from common_tpu.topic import svi  # noqa: F401

@@ -408,6 +408,33 @@ def blocked_sweep(state: HDPState, data: TokenData, key,
     )
 
 
+def densify_corpus(view, max_len: "Optional[int]" = None):
+    """(words [D, L], mask [D, L]) from a ragged variadic_dataview.
+
+    Bridges real (ragged) corpora to the dense doc-major fast path
+    (`blocked_sweep_dense`, ~3.6x the flat chunked sweep): docs pad to
+    L = max(doc length) (or `max_len`, truncating longer docs — only do
+    that deliberately).  Worth it when length skew is modest; for
+    pathological skew (padding factor >> 2) stay on the flat layout.
+    Returns numpy-backed jnp arrays; pair with `dense_token_data` for
+    state initialization.
+    """
+    import numpy as _np
+
+    ptr = _np.asarray(view.row_ptr)
+    toks = _np.asarray(view.tokens)
+    lens = _np.diff(ptr)
+    D = len(lens)
+    L = int(lens.max()) if max_len is None else int(max_len)
+    words = _np.zeros((D, L), _np.int32)
+    mask = _np.zeros((D, L), _np.float32)
+    for i in range(D):
+        m = min(int(lens[i]), L)
+        words[i, :m] = toks[ptr[i]: ptr[i] + m]
+        mask[i, :m] = 1.0
+    return jnp.asarray(words), jnp.asarray(mask)
+
+
 def dense_token_data(words, mask=None) -> TokenData:
     """TokenData from a rectangular doc-major [D, L] corpus (docs padded to
     equal length; mask 0 = padding).  The flat token order is row-major, so

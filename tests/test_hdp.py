@@ -584,3 +584,23 @@ def test_blocked_chunked_matches_z_enumeration():
     testutil.assert_discrete_dist_approx(
         sample_fn, exact, nsamples=3000, ntries=3, kl_tol=0.05
     )
+
+
+def test_densify_corpus_bridge():
+    """Ragged variadic corpus -> dense [D, L] + mask: padding inert,
+    dense sweep counts match the ragged token count."""
+    from common_tpu.data.variadic import variadic_dataview
+
+    rows = [np.array([3, 1, 4]), np.array([1, 5]), np.array([9, 2, 6, 5])]
+    view = variadic_dataview(rows)
+    words, mask = topic.densify_corpus(view)
+    assert words.shape == (3, 4)
+    assert float(np.asarray(mask).sum()) == 9
+    data = topic.dense_token_data(words, mask)
+    s = topic.initialize(data, 2, 10, jax.random.key(0), n_docs=3)
+    s2 = topic.blocked_sweep_dense(s, words, mask, jax.random.key(1))
+    assert float(np.asarray(s2.topic_total).sum()) == 9
+    assert float(np.asarray(s2.doc_topic).sum()) == 9
+    # truncation path
+    w2, m2 = topic.densify_corpus(view, max_len=3)
+    assert w2.shape == (3, 3) and float(np.asarray(m2).sum()) == 8
