@@ -843,6 +843,9 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "fused", "err": repr(e)})
 
+    if not args.smoke:
+        _emit(fp, {"event": "extras", "remaining_s": round(remaining(), 1)})
+
     # 2. dedicated honest-ESS tier: >= 200 sweeps at 100k x 64
     if not args.smoke and remaining() > 45.0:
         try:
@@ -855,9 +858,10 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "ess", "err": repr(e)})
 
-    # 3. HDP config-4 tier (1M docs / 50M tokens)
+    # 3. HDP config-4 tier (1M docs / 50M tokens; dense sweep costs
+    # ~90 s post-warmup: gen ~20 + compile ~32 + 2x3 sweeps ~8)
     if (not args.smoke and os.environ.get("BENCH_SKIP_HDP", "") != "1"
-            and remaining() > 240.0):
+            and remaining() > 150.0):
         try:
             hdp = run_hdp_tier(1_000_000, 50, 32, 10_000, 3,
                                jax.random.key(6))
@@ -909,7 +913,8 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
 
-    _emit(fp, {"event": "final", "result": result})
+    _emit(fp, {"event": "final", "result": result,
+               "remaining_s": round(remaining(), 1)})
 
 
 # ---------------------------------------------------------------------------
