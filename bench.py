@@ -879,16 +879,7 @@ def child_main(args):
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
-    if not args.smoke and remaining() > 150.0:
-        try:
-            result["configs"]["config3"] = run_config3_tier(
-                jax.random.key(22)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
-
-    # 6. block-SMC (config 5) — default-on since round 3.  The crash risk
+    # 5. block-SMC (config 5) — default-on since round 3.  The crash risk
     # that once mandated running SMC dead-last was the row-sequential
     # variant (now fenced at smc.ROW_SCAN_CAP); the block path has run
     # clean at 100k and 1M rows (BENCH_NOTES.md round 3), so only the
@@ -901,6 +892,15 @@ def child_main(args):
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "smc", "err": repr(e)})
+
+    if not args.smoke and remaining() > 150.0:
+        try:
+            result["configs"]["config3"] = run_config3_tier(
+                jax.random.key(22)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
     # 7. on-chip chain scaling — lowest priority: the parent's CPU-mesh
     # check already populates `efficiency`, so this proxy is a bonus
