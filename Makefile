@@ -3,8 +3,13 @@ PYTHON ?= python
 
 .PHONY: test test-fast bench bench-smoke native entry lint clean
 
+# Two invocations: a single very long pytest process (~450 XLA CPU
+# compilations) has twice segfaulted inside XLA's compiler late in the
+# run (see CLAUDE.md); splitting bounds per-process compilation count.
+# Every test passes in either half and in the combined TPU battery.
 test:
-	$(PYTHON) -m pytest tests/ -q
+	$(PYTHON) -m pytest tests/test_[a-i]*.py -q
+	$(PYTHON) -m pytest tests/test_[j-z]*.py -q
 
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -m "not slow"
