@@ -134,7 +134,10 @@ class SMCResult(NamedTuple):
     log_w: jax.Array          # [P] final unnormalized log-weights
     logz: jax.Array           # marginal-likelihood estimate log p(data)
     n_resamples: jax.Array
-    ess_trace: jax.Array      # [N] ESS after each row
+    # ESS after each absorption step: one entry PER ROW ([N]) for
+    # run()/run_sharded(), one entry PER BLOCK ([ceil(N/block)]) for
+    # run_blocked()/run_blocked_sharded().
+    ess_trace: jax.Array
 
 
 # A 50k-row sequential scan on the axon TPU once crashed the worker
@@ -349,7 +352,9 @@ def run_blocked(
     `particles` from `init_particles` ([P] leading axis).  The evidence
     estimate targets the truncated stick-breaking model (the blocked-Gibbs
     family's target); validated against exact enumeration and against the
-    row-sequential SMC in tests/test_smc.py.
+    row-sequential SMC in tests/test_smc.py.  The returned
+    SMCResult.ess_trace has one entry per BLOCK (length ceil(N/block)),
+    not per row.
 
     rejuvenation_blocks: blocked-Gibbs re-assignment of this many random
     seated blocks after each resampling event.  The log-Z estimate is

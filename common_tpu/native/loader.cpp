@@ -41,6 +41,10 @@ bool read_file(const char* path, std::string& buf) {
 
 inline bool is_sep(char c) { return c == ',' || c == ';' || c == '\t' || c == ' '; }
 
+// '\r' terminates a line like '\n' so CRLF files parse identically to LF
+// (a trailing '\r' must never read as field content or an extra field).
+inline bool is_eol(char c) { return c == '\n' || c == '\r'; }
+
 inline const char* skip_seps(const char* p, const char* end) {
     while (p < end && is_sep(*p)) ++p;
     return p;
@@ -120,11 +124,11 @@ long count_cols(const std::string& buf, size_t s) {
     const char* p = buf.data() + s;
     const char* end = buf.data() + buf.size();
     long cols = 0;
-    while (p < end && *p != '\n') {
+    while (p < end && !is_eol(*p)) {
         p = skip_seps(p, end);
-        if (p >= end || *p == '\n') break;
+        if (p >= end || is_eol(*p)) break;
         ++cols;
-        while (p < end && *p != '\n' && !is_sep(*p)) ++p;
+        while (p < end && !is_eol(*p) && !is_sep(*p)) ++p;
     }
     return cols;
 }
@@ -168,9 +172,9 @@ long ct_csv_load_f32(const char* path, float* out, long max_rows, long cols,
             const char* p = data + starts[static_cast<size_t>(r)];
             float* row = out + r * cols;
             long c = 0;
-            while (p < end && *p != '\n' && c < cols) {
+            while (p < end && !is_eol(*p) && c < cols) {
                 p = skip_seps(p, end);
-                if (p >= end || *p == '\n') break;
+                if (p >= end || is_eol(*p)) break;
                 char* next = nullptr;
                 row[c] = fast_strtof(p, end, &next);
                 if (next == p) { bad.fetch_add(1); break; }

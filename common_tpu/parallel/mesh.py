@@ -15,6 +15,8 @@ Multi-host: call `jax.distributed.initialize()` before building the mesh
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -24,6 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from common_tpu import validator
 
 CHAINS, DATA = "chains", "data"
+
+# Environment markers whose presence means "this process is part of a real
+# multi-host job" — an init failure then must NOT silently degrade to
+# single-process (each host would compute duplicated/wrong results).
+_DIST_ENV_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "CLOUD_TPU_MULTIHOST",
+)
+
+
+def _distributed_env_detected() -> bool:
+    return any(os.environ.get(k) for k in _DIST_ENV_MARKERS)
 
 
 def init_distributed(
@@ -38,8 +55,16 @@ def init_distributed(
     builds meshes over `jax.devices()` (which now spans all hosts) via
     `make_mesh`.  On TPU pods all three arguments are auto-detected from
     the TPU metadata; pass them explicitly on other platforms.  Safe to
-    call in single-process runs: if no distributed environment exists (or
-    it is already initialized) this is a no-op returning process 0.
+    call in single-process runs with no distributed environment: that is
+    a no-op returning process 0.
+
+    Failure policy (ADVICE.md round 3): an init error is swallowed ONLY
+    when the runtime is already initialized, or when nothing indicates a
+    distributed job (no coordinator argument, no multi-process request,
+    no coordinator env vars) — and even then a loud warning is emitted.
+    In a detectable multi-host environment the error re-raises: silently
+    degrading each host to single-process mode would duplicate work and
+    corrupt results.
     """
     try:
         jax.distributed.initialize(
@@ -48,9 +73,22 @@ def init_distributed(
             process_id=process_id,
         )
     except (RuntimeError, ValueError) as e:
-        # already initialized, or single-process with no coordinator
-        if "already" not in str(e) and num_processes not in (None, 1):
+        if "already" in str(e):
+            return jax.process_index()  # already initialized: benign
+        wants_distributed = (
+            coordinator_address is not None
+            or num_processes not in (None, 1)
+            or _distributed_env_detected()
+        )
+        if wants_distributed:
             raise
+        warnings.warn(
+            "jax.distributed.initialize failed with no distributed "
+            f"environment detected ({e!r}); falling back to "
+            "single-process mode (process_index=0)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return jax.process_index()
 
 

@@ -140,3 +140,26 @@ def test_csv_loader_fallback_parity(tmp_path, monkeypatch):
     b = load_csv_f32(str(p))
     np.testing.assert_allclose(a, b, rtol=1e-6)
     assert b.dtype == np.float32
+
+
+def test_csv_loader_crlf(tmp_path):
+    """CRLF line endings parse identically to LF (native + fallback).
+
+    Regression: count_cols once read a trailing '\\r' as field content /
+    an extra field, so CRLF files failed with a misleading 'ragged rows'
+    error on the native path while the numpy fallback accepted them
+    (ADVICE.md round 3)."""
+    import numpy as np
+
+    from common_tpu.io import load_csv_f32
+
+    r = np.random.default_rng(2)
+    X = r.normal(size=(30, 4)).astype(np.float32)
+    p = tmp_path / "crlf.csv"
+    with open(p, "wb") as f:
+        f.write(b"# crlf header\r\n\r\n")
+        for row in X:
+            f.write((",".join(f"{v:.7g}" for v in row)).encode() + b"\r\n")
+    got = load_csv_f32(str(p), n_threads=2)
+    assert got.shape == X.shape
+    np.testing.assert_allclose(got, X, rtol=1e-5)

@@ -198,3 +198,47 @@ def test_multichain_hdp_and_irm():
     counts = np.asarray(ibatched.counts[0])
     assert counts.shape == (2, 4)
     np.testing.assert_array_equal(counts.sum(axis=-1), 8)
+
+
+def test_init_distributed_failure_policy(monkeypatch):
+    """ADVICE.md round 3: init failures only degrade to single-process
+    when no distributed environment is detectable — and loudly."""
+    import warnings
+
+    import pytest
+
+    from common_tpu.parallel import mesh as mesh_mod
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for marker in mesh_mod._DIST_ENV_MARKERS:
+        monkeypatch.delenv(marker, raising=False)
+
+    # no distributed evidence: falls back, but warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert mesh_mod.init_distributed() == 0
+    assert any("single-process" in str(x.message) for x in w)
+
+    # explicit multi-process request: re-raises
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        mesh_mod.init_distributed(num_processes=4)
+    # explicit coordinator address: re-raises
+    with pytest.raises(RuntimeError):
+        mesh_mod.init_distributed(coordinator_address="10.0.0.1:8476")
+    # coordinator env var present (pod auto-detect case): re-raises
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    with pytest.raises(RuntimeError):
+        mesh_mod.init_distributed()
+
+    # already-initialized: benign no-op, no warning
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert mesh_mod.init_distributed(num_processes=4) == 0
+    assert not w
