@@ -93,6 +93,84 @@ def _publish(result):
         _RESULT.update(copy.deepcopy(result))
 
 
+# Keys whose values ARE the headline.  The driver's official record keeps
+# only the LAST 4 KB of output (round-3 VERDICT item 3: BENCH_r03's tail
+# started mid-`tiers` and the metric/value fields were cut off), so the
+# final JSON line is ordered bulky-first / headline-LAST, with a compact
+# `summary` of every sub-tier just before the headline scalars — any tail
+# window that survives truncation then contains the numbers that matter.
+_TAIL_KEYS = (
+    "summary", "partial", "total_s", "baseline_sweeps_per_s",
+    "baseline_range", "ess_per_s", "k_active", "tflops",
+    "mfu_vs_bf16_peak", "device", "vs_baseline", "unit", "value", "metric",
+)
+
+
+def _compact_summary(result):
+    """One-liners of every sub-tier (fits comfortably in a 4 KB tail)."""
+    s = {}
+
+    def g(d, *ks):
+        for k in ks:
+            d = d.get(k) if isinstance(d, dict) else None
+        return d
+
+    if result.get("ess_tier"):
+        t = result["ess_tier"]
+        s["ess"] = {
+            "shape": [t.get("n"), t.get("d"), t.get("k_max")],
+            "sweeps": t.get("sweeps"),
+            "ess_per_s": t.get("ess_per_s"),
+            "kernel": t.get("kernel"),
+        }
+    if result.get("predictive"):
+        s["predictive"] = result["predictive"]
+    if result.get("hdp"):
+        h = result["hdp"]
+        s["hdp"] = {
+            "tokens_per_s": h.get("tokens_per_s"),
+            "perplexity": g(h, "predictive", "perplexity"),
+        }
+    if result.get("smc"):
+        m = result["smc"]
+        s["smc"] = {
+            "n": m.get("n"), "d": m.get("d"),
+            "particles": m.get("particles"),
+            "rows_per_s": m.get("rows_per_s"), "logz": m.get("logz"),
+        }
+    for cfg in ("config2", "config3"):
+        c = g(result, "configs", cfg)
+        if c:
+            s[cfg] = {
+                "sweeps_per_s": c.get("sweeps_per_s"),
+                "fused_sweeps_per_s": g(c, "fused", "sweeps_per_s"),
+                "predictive": g(c, "predictive", "mean_logp"),
+            }
+            s[cfg] = {k: v for k, v in s[cfg].items() if v is not None}
+    eff = result.get("efficiency")
+    if eff:
+        s["efficiency"] = {
+            "cpu_mesh": g(eff, "cpu_mesh_shards", "efficiency"),
+            "chains_on_chip": g(eff, "chains_on_chip", "efficiency"),
+        }
+    ft = result.get("fused_tier")
+    if ft:
+        s["fused"] = {"sweeps_per_s": ft.get("sweeps_per_s")}
+    return s
+
+
+def _ordered_for_tail(result):
+    """Reorder so the headline scalars are the FINAL dict entries."""
+    out = {k: v for k, v in result.items() if k not in _TAIL_KEYS}
+    out["summary"] = _compact_summary(result)
+    for k in _TAIL_KEYS:
+        if k == "summary":
+            continue
+        if k in result:
+            out[k] = result[k]
+    return out
+
+
 def _merge(**fields):
     with _RESULT_LOCK:
         _RESULT.update(copy.deepcopy(fields))
@@ -110,7 +188,7 @@ def _start_watchdog(fire_at_monotonic):
         with _RESULT_LOCK:
             out = copy.deepcopy(_RESULT)
         out["watchdog_timeout"] = True
-        print(json.dumps(out), flush=True)
+        print(json.dumps(_ordered_for_tail(out)), flush=True)
         os._exit(0)
 
     t = threading.Thread(target=run, daemon=True, name="bench-watchdog")
@@ -140,11 +218,16 @@ def _fetch(arr):
     return np.asarray(arr)
 
 
-def build_tier_fn(n, d, k_max, sweeps, kernel="blocked"):
+def build_tier_fn(n, d, k_max, sweeps, kernel="blocked", heldout=0):
     """Compiled (datagen → init → S sweeps + score trace) programs.
 
     kernel: "blocked" (XLA path) or "fused" (Pallas score+Gumbel+argmax
-    kernel — the [N, K] table never touches HBM)."""
+    kernel — the [N, K] table never touches HBM).
+
+    heldout > 0 additionally generates `heldout` rows from the SAME
+    mixture (same centers — one datagen call over n+heldout rows, then a
+    split) for posterior-predictive quality scoring; the timed `run`
+    program is unchanged."""
     import jax
     import jax.numpy as jnp
 
@@ -161,7 +244,8 @@ def build_tier_fn(n, d, k_max, sweeps, kernel="blocked"):
     }
 
     def setup(key):
-        x = make_data_device(jax.random.fold_in(key, 0), n, d)
+        x_all = make_data_device(jax.random.fold_in(key, 0), n + heldout, d)
+        x, xh = x_all[:n], x_all[n:]
         data = ((x, jnp.ones(n, jnp.float32)),)
         s = st.initialize(
             defn,
@@ -170,7 +254,7 @@ def build_tier_fn(n, d, k_max, sweeps, kernel="blocked"):
             cluster_hp={"alpha": 1.0},
             feature_hps=[hyper],
         )
-        return x, s
+        return x, xh, s
 
     def run(x, s, key):
         data = ((x, jnp.ones(n, jnp.float32)),)
@@ -191,12 +275,16 @@ def build_tier_fn(n, d, k_max, sweeps, kernel="blocked"):
 
 def _capped_ess(trace, n_samples):
     """Bulk ESS capped at the sample count (an autocovariance estimator fed
-    a handful of points can report ESS > n — round-2 weak item 3)."""
+    a handful of points can report ESS > n — round-2 weak item 3).
+
+    Traces shorter than 20 samples return None: the estimator carries no
+    information there and the capped value just parrots the sweep count
+    (round-3 weak item 6)."""
     import numpy as np
 
     from common_tpu.utils import diagnostics
 
-    if n_samples < 4:
+    if n_samples < 20:
         return None
     e = float(diagnostics.ess(trace - trace.mean()))
     if not np.isfinite(e):
@@ -204,15 +292,19 @@ def _capped_ess(trace, n_samples):
     return min(e, float(n_samples))
 
 
-def run_tier(n, d, k_max, sweeps, key, kernel="blocked"):
-    """Returns a dict of tier measurements (raises on failure/OOM)."""
+def run_tier(n, d, k_max, sweeps, key, kernel="blocked", heldout=0):
+    """Returns a dict of tier measurements (raises on failure/OOM).
+
+    heldout > 0 appends a `predictive` block: mean posterior-predictive
+    log-lik of `heldout` same-mixture rows under the final state (the
+    BASELINE quality metric), computed OUTSIDE the timed region."""
     import jax
     import numpy as np
 
-    setup, run = build_tier_fn(n, d, k_max, sweeps, kernel)
+    setup, run = build_tier_fn(n, d, k_max, sweeps, kernel, heldout)
 
     t0 = time.perf_counter()
-    x, s = setup(key)
+    x, xh, s = setup(key)
     _fetch(s.counts)
     setup_s = time.perf_counter() - t0
 
@@ -238,6 +330,26 @@ def run_tier(n, d, k_max, sweeps, key, kernel="blocked"):
     flops_per_sweep = 4.0 * n * k_max * d * d  # score [N,K] + suffstat rebuild
     tflops = flops_per_sweep * sweeps / dt / 1e12
 
+    predictive = None
+    if heldout:
+        import jax.numpy as jnp
+
+        from common_tpu import state as st
+
+        @jax.jit
+        def held_lp(state, xh):
+            lp = st.heldout_logp(
+                state, ((xh, jnp.ones(xh.shape[0], jnp.float32)),)
+            )
+            return jnp.mean(lp)
+
+        mean_lp = float(_fetch(held_lp(s_out, xh)))
+        predictive = {
+            "heldout_rows": heldout,
+            "mean_logp": round(mean_lp, 4),
+            "per_dim": round(mean_lp / d, 5),
+        }
+
     return {
         "n": n,
         "d": d,
@@ -254,6 +366,7 @@ def run_tier(n, d, k_max, sweeps, key, kernel="blocked"):
         "mfu_vs_bf16_peak": round(tflops / 197.0, 4),
         "k_active": int(np.sum(_fetch(s_out.counts) > 0)),
         "score_final": float(trace[-1]),
+        "predictive": predictive,
     }
 
 
@@ -327,12 +440,19 @@ def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
     }
 
 
-def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
+def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8,
+                     heldout=4096):
     """BASELINE config 2: Beta-Bernoulli DPMM on an [n, d] binary feature
     matrix (one bbv vector feature = the reference's d scalar bb columns),
     blocked assignment sweep + coordinate-wise slice sampling of the
     per-column (alpha, beta) hypers and the CRP concentration, as one
-    compiled scan."""
+    compiled scan.
+
+    Also times the fused-Pallas bbv variant (`sweep_fused` →
+    ops/linear_assign.py) of the same scan — round-3 weak item 3: the
+    fused bbv kernel previously had no measured TPU number — and scores
+    `heldout` same-mixture rows under the final state (BASELINE
+    predictive-quality metric)."""
     import jax
     import jax.numpy as jnp
 
@@ -346,10 +466,11 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
     def gen(k):
         kp, kz, kx = jax.random.split(k, 3)
         probs = jax.random.beta(kp, 0.5, 0.5, (8, d))
-        z = jax.random.randint(kz, (n,), 0, 8)
+        z = jax.random.randint(kz, (n + heldout,), 0, 8)
         return jax.random.bernoulli(kx, probs[z]).astype(jnp.float32)
 
-    x = gen(jax.random.fold_in(key, 0))
+    x_all = gen(jax.random.fold_in(key, 0))
+    x, xh = x_all[:n], x_all[n:]
     data = ((x, jnp.ones(n, jnp.float32)),)
     state = st.initialize(
         defn, data, jax.random.fold_in(key, 1),
@@ -369,28 +490,39 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
     cluster = {"prior": scalar_functions.log_exponential(1.0),
                "w": 0.5, "bounds": (1e-4, 1e4)}
 
-    def run(state, data, key):
-        def body(s, t):
-            kt = jax.random.fold_in(key, t)
-            s = blocked.sweep(s, data, jax.random.fold_in(kt, 0))
-            s = slice_._hp_impl(s, jax.random.fold_in(kt, 1),
-                                specs=specs, cluster=cluster)
-            return s, st.score_joint(s)
+    def make_run(sweep_fn):
+        def run(state, data, key):
+            def body(s, t):
+                kt = jax.random.fold_in(key, t)
+                s = sweep_fn(s, data, jax.random.fold_in(kt, 0))
+                s = slice_._hp_impl(s, jax.random.fold_in(kt, 1),
+                                    specs=specs, cluster=cluster)
+                return s, st.score_joint(s)
 
-        return jax.lax.scan(body, state, jnp.arange(sweeps))
+            return jax.lax.scan(body, state, jnp.arange(sweeps))
 
-    t0 = time.perf_counter()
-    compiled = jax.jit(run).lower(state, data, key).compile()
-    compile_s = time.perf_counter() - t0
-    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
-    _fetch(out.counts)
-    t0 = time.perf_counter()
-    out, trace = compiled(state, data, jax.random.fold_in(key, 2))
-    _fetch(out.counts)
-    dt = time.perf_counter() - t0
+        return run
+
+    def time_variant(sweep_fn, kv):
+        t0 = time.perf_counter()
+        compiled = jax.jit(make_run(sweep_fn)).lower(
+            state, data, kv
+        ).compile()
+        compile_s = time.perf_counter() - t0
+        out, trace = compiled(state, data, kv)
+        _fetch(out.counts)
+        t0 = time.perf_counter()
+        out, trace = compiled(state, data, kv)
+        _fetch(out.counts)
+        dt = time.perf_counter() - t0
+        return out, trace, dt, compile_s
+
     import numpy as np
 
-    return {
+    out, trace, dt, compile_s = time_variant(
+        blocked.sweep, jax.random.fold_in(key, 2)
+    )
+    result = {
         "config": "2: bb-dpmm + slice hp",
         "n": n, "d": d, "k_max": k_max, "sweeps": sweeps,
         "sweeps_per_s": round(sweeps / dt, 3),
@@ -399,6 +531,39 @@ def run_config2_tier(key, n=100_000, d=64, k_max=32, sweeps=8):
         "alpha": float(_fetch(out.cluster_hp["alpha"])),
         "score_final": float(np.asarray(trace)[-1]),
     }
+
+    # fused-Pallas bbv variant of the identical scan
+    try:
+        fout, ftrace, fdt, fcompile = time_variant(
+            blocked.sweep_fused, jax.random.fold_in(key, 2)
+        )
+        result["fused"] = {
+            "sweeps_per_s": round(sweeps / fdt, 3),
+            "compile_s": round(fcompile, 1),
+            "k_active": int(np.sum(_fetch(fout.counts) > 0)),
+            "score_final": float(np.asarray(ftrace)[-1]),
+            "speedup_vs_xla": round(dt / fdt, 3),
+        }
+        if fdt < dt:
+            out = fout
+    except Exception as e:
+        result["fused"] = {"error": repr(e)}
+
+    if heldout:
+        @jax.jit
+        def held_lp(state, xh):
+            lp = st.heldout_logp(
+                state, ((xh, jnp.ones(xh.shape[0], jnp.float32)),)
+            )
+            return jnp.mean(lp)
+
+        mean_lp = float(_fetch(held_lp(out, xh)))
+        result["predictive"] = {
+            "heldout_rows": heldout,
+            "mean_logp": round(mean_lp, 4),
+            "per_dim": round(mean_lp / d, 5),
+        }
+    return result
 
 
 def run_config3_tier(key, n=100_000, k_max=32, sweeps=4):
@@ -485,12 +650,17 @@ def run_config3_tier(key, n=100_000, k_max=32, sweeps=4):
 
 
 def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
-                 doc_chunk=20_000):
+                 doc_chunk=20_000, heldout_frac=0.01):
     """Config-4 scale: HDP-LDA blocked sweeps/s on an n_docs-doc corpus.
 
     Synthetic corpus generated on-device (equal-length docs, topic-block
     vocab); one compiled scan of `sweeps` (dense doc-major blocked sweep
     + beta resample) is timed; reports sweeps/s and tokens/s.
+
+    heldout_frac > 0 masks that fraction of token POSITIONS out of
+    training (document-completion style) and reports their per-token
+    perplexity under the trained state (BASELINE predictive-quality
+    metric), computed outside the timed region.
     """
     import jax
     import jax.numpy as jnp
@@ -508,10 +678,16 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         w = topic_of_doc[:, None] * block + jax.random.randint(
             key, (n_docs, doc_len), 0, block, jnp.int32
         )
-        return w
+        held = (
+            jax.random.uniform(jax.random.fold_in(key, 1),
+                               (n_docs, doc_len)) < heldout_frac
+        ).astype(jnp.float32)
+        return w, held
 
-    words = gen(jax.random.fold_in(key, 0))
-    mask = jnp.ones((n_docs, doc_len), jnp.float32)
+    words, held = gen(jax.random.fold_in(key, 0))
+    mask = 1.0 - held if heldout_frac > 0 else jnp.ones(
+        (n_docs, doc_len), jnp.float32
+    )
     data = topic.dense_token_data(words, mask)
     state = topic.initialize(
         data, k_topics, vocab, jax.random.fold_in(key, 1), n_docs=n_docs
@@ -544,6 +720,31 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
     _fetch(out.topic_total)
     dt = time.perf_counter() - t0
 
+    predictive = None
+    if heldout_frac > 0:
+        # a 3-sweep state is far from converged — chain a few more calls
+        # of the already-compiled program (outside the timed region) so
+        # the perplexity reflects a usable posterior, then score the
+        # held-out tokens
+        for c in range(3):
+            out, _ = run_c(out, words, mask, jax.random.fold_in(key, 50 + c))
+        _fetch(out.topic_total)
+        # host-side subset of the held positions (data-dependent size),
+        # then posterior-mean perplexity of JUST those tokens
+        held_np = _fetch(held).reshape(-1) > 0
+        idx = np.nonzero(held_np)[0]
+        held_td = topic.TokenData(
+            jnp.asarray(_fetch(words).reshape(-1)[idx]),
+            jnp.asarray((idx // doc_len).astype(np.int32)),
+            jnp.ones(len(idx), jnp.float32),
+        )
+        ppl = float(_fetch(jax.jit(topic.perplexity)(out, held_td)))
+        predictive = {
+            "heldout_tokens": int(len(idx)),
+            "perplexity": round(ppl, 2),
+            "random_perplexity": vocab,
+        }
+
     return {
         "n_docs": n_docs,
         "tokens": T,
@@ -555,15 +756,22 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         "compile_s": round(compile_s, 1),
         "k_active": int(_fetch(out.active_topics())),
         "score_final": float(_fetch(trace)[-1]),
+        "predictive": predictive,
     }
 
 
-def run_smc_tier(n, d, k_max, n_particles, key, block=4096):
+def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
+                 warm_run=True):
     """Config-5: block-SMC rows/s at scale (O(N/B) device steps).
 
     Uses kernels/smc.py's blocked variant: rows are absorbed in blocks via
     a blocked conditional pass, with the block predictive as the
     incremental weight and blocked-Gibbs rejuvenation after resampling.
+
+    warm_run=False compiles ahead of time (compile_s reported) and times
+    the FIRST execution — used at the 1M x 256 stated shape where a
+    discarded warm-up run would double a ~minutes-long tier; the timed
+    number then includes one-time buffer/layout costs (conservative).
     """
     import jax
     import jax.numpy as jnp
@@ -588,13 +796,19 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096):
     )
 
     t0 = time.perf_counter()
-    res = smc.run_blocked(parts, data, jax.random.fold_in(key, 2),
-                          block=block)
-    logz = float(_fetch(res.logz))
-    first_s = time.perf_counter() - t0
+    compiled = smc.run_blocked.lower(
+        parts, data, jax.random.fold_in(key, 2), block=block
+    ).compile()
+    compile_s = time.perf_counter() - t0
+
+    first_s = None
+    if warm_run:
+        t0 = time.perf_counter()
+        res = compiled(parts, data, jax.random.fold_in(key, 2))
+        logz = float(_fetch(res.logz))
+        first_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = smc.run_blocked(parts, data, jax.random.fold_in(key, 2),
-                          block=block)
+    res = compiled(parts, data, jax.random.fold_in(key, 2))
     logz = float(_fetch(res.logz))
     dt = time.perf_counter() - t0
 
@@ -608,7 +822,9 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096):
         "block": block,
         "rows_per_s": round(rows_per_s, 1),
         "run_s": round(dt, 3),
-        "first_call_s": round(first_s, 1),
+        "compile_s": round(compile_s, 1),
+        "first_call_s": None if first_s is None else round(first_s, 1),
+        "cold_timed": not warm_run,
         "logz": logz,
         "n_resamples": int(_fetch(res.n_resamples)),
         "extrapolated_1m_rows_s": round(1e6 / rows_per_s, 1),
@@ -616,15 +832,16 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096):
 
 
 def numpy_collapsed_rows_per_s(d, k_active, budget_s=2.5, seed=0,
-                               replicates=3):
+                               replicates=5):
     """Reference-architecture baseline: sequential per-row collapsed Gibbs.
 
     Mirrors SURVEY.md §3.2's hot loop: remove row → score all active
     clusters + 1 empty (NIW Student-t predictive via numpy Cholesky) →
     categorical draw → add row.  Per-row cost is independent of total N,
-    so the caller scales to full-N sweeps/s.  Returns the MEDIAN of
-    `replicates` fixed-budget measurements (round-2 weak item 7: a single
-    small-budget measurement varied by ~an order of magnitude run-to-run).
+    so the caller scales to full-N sweeps/s.  Returns (median, min, max)
+    over `replicates` fixed-budget measurements — the spread is published
+    as `baseline_range` (round-3 weak item 4: the headline multiplier
+    varied ~5x between records with the spread hidden).
     """
     import numpy as np
     from numpy.linalg import cholesky, slogdet
@@ -702,7 +919,8 @@ def numpy_collapsed_rows_per_s(d, k_active, budget_s=2.5, seed=0,
 
     import numpy as np
 
-    return float(np.median([one(seed + r) for r in range(replicates)]))
+    vals = [one(seed + r) for r in range(replicates)]
+    return float(np.median(vals)), float(np.min(vals)), float(np.max(vals))
 
 
 # (n, d, k_max, sweeps) — smallest first; last is the BASELINE.md headline.
@@ -829,12 +1047,14 @@ def child_main(args):
         return t_end - time.monotonic()
 
     # 1. fused Pallas tier at the top completed shape (the flagship)
+    fused_ok = False
     if not args.smoke and remaining() > top["run_s"] * 2.5 + 60.0:
         try:
             fused = run_tier(top["n"], top["d"], top["k_max"],
                              top["sweeps"], jax.random.key(99),
                              kernel="fused")
             result["fused_tier"] = fused
+            fused_ok = True
             _emit(fp, {"event": "tier", "tier": fused})
             if fused["sweeps_per_s"] > top["sweeps_per_s"]:
                 tiers.append(fused)
@@ -846,20 +1066,57 @@ def child_main(args):
     if not args.smoke:
         _emit(fp, {"event": "extras", "remaining_s": round(remaining(), 1)})
 
-    # 2. dedicated honest-ESS tier: >= 200 sweeps at 100k x 64
-    if not args.smoke and remaining() > 45.0:
+    # 2. NORTH-STAR ESS tier: >=100 sweeps at the top completed ladder
+    # shape (the 1M x 256 K=64 headline when the ladder got there), fused
+    # kernel, with held-out predictive scoring (round-3 VERDICT item 1a +
+    # item 5).  ~100 sweeps cost ~2x19 s at the headline shape plus one
+    # compile.
+    if not args.smoke and remaining() > 160.0:
         try:
-            et = run_tier(*ESS_TIER, jax.random.key(7))
+            et = run_tier(
+                top["n"], top["d"], top["k_max"], 100, jax.random.key(7),
+                kernel="fused" if fused_ok else "blocked", heldout=4096,
+            )
             result["ess_tier"] = et
             result["ess_per_s"] = et["ess_per_s"]
             result["ess_est"] = et["ess_est"]
+            result["predictive"] = et["predictive"]
             _emit(fp, {"event": "tier", "tier": et})
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "ess", "err": repr(e)})
 
-    # 3. HDP config-4 tier (1M docs / 50M tokens; dense sweep costs
-    # ~90 s post-warmup: gen ~20 + compile ~32 + 2x3 sweeps ~8)
+    # 3. block-SMC (config 5) AT ITS STATED SHAPE: 1M x 256 (round-3
+    # VERDICT item 1b — never fall back to smaller d; smaller P is the
+    # sanctioned retreat).  Cold-timed (AOT compile + one timed run)
+    # unless the window is generous.
+    if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
+            and remaining() > 240.0):
+        for n_p, blk in ((16, 8192), (8, 8192)):
+            try:
+                result["smc"] = run_smc_tier(
+                    1_000_000, 256, 64, n_p, jax.random.key(5), block=blk,
+                    warm_run=remaining() > 500.0,
+                )
+                _emit(fp, {"event": "result", "result": result})
+                break
+            except Exception as e:
+                _emit(fp, {"event": "error", "stage": f"smc-p{n_p}",
+                           "err": repr(e)})
+    # fallback: the round-3 100k x 32 shape so the record never lacks an
+    # smc object entirely
+    if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
+            and result["smc"] is None and remaining() > 120.0):
+        try:
+            result["smc"] = run_smc_tier(100_000, 32, 32, 128,
+                                         jax.random.key(5))
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "smc", "err": repr(e)})
+
+    # 4. HDP config-4 tier (1M docs / 50M tokens; dense sweep costs
+    # ~90 s post-warmup: gen ~20 + compile ~32 + 2x3 sweeps ~8), now with
+    # held-out-token perplexity
     if (not args.smoke and os.environ.get("BENCH_SKIP_HDP", "") != "1"
             and remaining() > 150.0):
         try:
@@ -870,7 +1127,8 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "hdp", "err": repr(e)})
 
-    # 4./5. configs 2-3 at their stated scale
+    # 5./6. configs 2-3 at their stated scale (config 2 now also times
+    # the fused bbv kernel and scores held-out rows)
     if not args.smoke and remaining() > 75.0:
         try:
             result["configs"]["config2"] = run_config2_tier(
@@ -879,19 +1137,6 @@ def child_main(args):
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
-    # 5. block-SMC (config 5) — default-on since round 3.  The crash risk
-    # that once mandated running SMC dead-last was the row-sequential
-    # variant (now fenced at smc.ROW_SCAN_CAP); the block path has run
-    # clean at 100k and 1M rows (BENCH_NOTES.md round 3), so only the
-    # throwaway chains proxy runs after it.
-    if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
-            and remaining() > 120.0):
-        try:
-            result["smc"] = run_smc_tier(100_000, 32, 32, 128,
-                                         jax.random.key(5))
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "smc", "err": repr(e)})
 
     if not args.smoke and remaining() > 150.0:
         try:
@@ -902,7 +1147,20 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
-    # 7. on-chip chain scaling — lowest priority: the parent's CPU-mesh
+    # 7. secondary honest-ESS tier at 100k x 64 (round-3 continuity)
+    if (not args.smoke and result.get("ess_tier") is None
+            and remaining() > 45.0):
+        try:
+            et = run_tier(*ESS_TIER, jax.random.key(7))
+            result["ess_tier"] = et
+            result["ess_per_s"] = et["ess_per_s"]
+            result["ess_est"] = et["ess_est"]
+            _emit(fp, {"event": "tier", "tier": et})
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "ess", "err": repr(e)})
+
+    # 8. on-chip chain scaling — lowest priority: the parent's CPU-mesh
     # check already populates `efficiency`, so this proxy is a bonus
     if not args.smoke and remaining() > 90.0:
         try:
@@ -1119,22 +1377,25 @@ def parent_main(args):
         try:
             tiers = result.get("tiers") or []
             top = tiers[-1] if tiers else {"d": 16, "k_active": 8, "n": 20000}
-            rows_per_s = numpy_collapsed_rows_per_s(
+            med, lo, hi = numpy_collapsed_rows_per_s(
                 top["d"], max(top.get("k_active", 8), 2)
             )
-            base = rows_per_s / top["n"]
+            base = med / top["n"]
             result["vs_baseline"] = round(result["value"] / base, 1)
             result["baseline"] = (
                 "reference-architecture per-row collapsed Gibbs (numpy), "
-                "median of 3 replicates, scaled to full N"
+                "median of 5 fixed-budget replicates, scaled to full N"
             )
             result["baseline_sweeps_per_s"] = float(f"{base:.3e}")
+            result["baseline_range"] = [
+                float(f"{lo / top['n']:.3e}"), float(f"{hi / top['n']:.3e}")
+            ]
         except Exception as e:
             print(f"# baseline failed: {e!r}", file=sys.stderr)
 
     _publish(result)
     _DONE.set()
-    print(json.dumps(result), flush=True)
+    print(json.dumps(_ordered_for_tail(result)), flush=True)
     sys.stderr.flush()
     # skip interpreter teardown: the CPU-mesh thread may still be inside an
     # XLA call, and tearing down live XLA threads segfaults at exit.  All

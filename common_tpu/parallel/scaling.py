@@ -44,8 +44,13 @@ def _make_problem(n, d, k_max, key):
     return defn, data
 
 
-def _time_sharded_sweeps(mesh, defn, data, sweeps, key) -> float:
-    """Compile a `sweeps`-sweep scan for this mesh, return wall seconds."""
+def _time_sharded_sweeps(mesh, defn, data, sweeps, key, repeats=3):
+    """Compile a `sweeps`-sweep scan for this mesh; return per-repeat wall
+    seconds (compile + one warm-up excluded).
+
+    `repeats` timed executions because single-shot timings on shared CPU
+    cores under a busy parent showed ~2x run-to-run spread (round-3 weak
+    item 2) — callers take the median and report the spread."""
     state = sharded.initialize_chains(
         defn, data, jax.random.split(key, 1), cluster_hp={"alpha": 1.0}
     )
@@ -63,10 +68,13 @@ def _time_sharded_sweeps(mesh, defn, data, sweeps, key) -> float:
     out = run(state, key)
     np.asarray(out.counts)
 
-    t0 = time.perf_counter()
-    out = run(state, key)
-    np.asarray(out.counts)  # host fetch fences execution (axon caveat)
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(state, key)
+        np.asarray(out.counts)  # host fetch fences execution (axon caveat)
+        times.append(time.perf_counter() - t0)
+    return times
 
 
 def measure_row_scaling(
@@ -77,10 +85,12 @@ def measure_row_scaling(
     shard_counts: Sequence[int] = (1, 2, 4, 8),
     devices: Optional[Sequence] = None,
     seed: int = 0,
+    repeats: int = 3,
 ) -> Dict:
     """Sweeps/s of the data-sharded blocked sweep at each shard count.
 
-    Returns {"throughput": {s: sweeps_per_s}, "efficiency": float,
+    Returns {"throughput": {s: median sweeps_per_s}, "spread": {s:
+    (max-min)/median over `repeats` timed runs}, "efficiency": float,
     "shard_counts": [...], "n": n, "d": d, "k_max": k_max}.
     Rows must divide evenly into every shard count (n is rounded up).
     """
@@ -97,21 +107,27 @@ def measure_row_scaling(
 
     defn, data = _make_problem(n, d, k_max, jax.random.key(seed))
     throughput = {}
+    spread = {}
     for s in shard_counts:
         mesh = mesh_mod.make_mesh(chains=1, data=s, devices=devices[:s])
-        dt = _time_sharded_sweeps(
-            mesh, defn, data, sweeps, jax.random.key(seed + 1)
+        times = _time_sharded_sweeps(
+            mesh, defn, data, sweeps, jax.random.key(seed + 1),
+            repeats=repeats,
         )
-        throughput[s] = sweeps / dt
+        med = float(np.median(times))
+        throughput[s] = sweeps / med
+        spread[s] = round((max(times) - min(times)) / med, 3)
 
     lo, hi = shard_counts[0], shard_counts[-1]
     efficiency = (throughput[hi] / throughput[lo]) / (hi / lo)
     return {
         "throughput": {s: round(v, 4) for s, v in throughput.items()},
+        "spread": spread,
         "efficiency": round(float(efficiency), 4),
         "shard_counts": shard_counts,
         "n": n,
         "d": d,
         "k_max": k_max,
         "sweeps": sweeps,
+        "repeats": repeats,
     }

@@ -442,6 +442,39 @@ def sample(
     return tuple(data), z
 
 
+def heldout_logp(state: MixtureState, data):
+    """[n] log posterior-predictive density of held-out rows.
+
+    The BASELINE north-star quality metric ("predictive log-likelihood
+    within MC error"): for each held-out row x*,
+        log p(x* | state) = logsumexp_k( log w_k + Σ_f pred_logpdf_{k,f} )
+                            − logsumexp_k( log w_k )
+    with w_k the CRP/Dirichlet seating weights (`crp_prior_scores`, the
+    collapsed mixture weights including the fresh-cluster alpha slot) and
+    pred_logpdf each feature's collapsed predictive (Student-t for NIW,
+    etc.).  `data` uses the standard ((values, mask), ...) column layout;
+    masked cells contribute nothing.  Average over several posterior
+    states for an MC-error-quantified estimate.
+    """
+    from jax.scipy.special import logsumexp as _lse
+
+    logw = crp_prior_scores(state)  # [K]
+    norm = _lse(logw)
+
+    def row_lp(cols_row):
+        lp = logw
+        for (xi, mi), lik, hyper, stats_f in zip(
+            cols_row, state.likelihoods(), state.hypers, state.stats
+        ):
+            s = lik.pred_logpdf(hyper, stats_f, xi)
+            lp = lp + s * jnp.asarray(mi, s.dtype)
+        return _lse(lp) - norm
+
+    return jax.vmap(lambda *cols: row_lp(cols))(
+        *[(x, jnp.asarray(m)) for x, m in data]
+    )
+
+
 def sample_post_pred(state: MixtureState, key, size: int = 1):
     """Draw `size` hypothetical new rows from the posterior predictive
     (mixturemodel's ``state.sample_post_pred``): cluster ~ CRP seating

@@ -194,3 +194,46 @@ def test_final_child_result_passes_through():
     assert out["partial"] is False
     assert out["child_state"] == "final"
     assert out["tpu_preflight_failed"] is False
+
+
+def test_headline_survives_tail_truncation():
+    """The driver's official record keeps only the LAST 4 KB of output
+    (round-3 VERDICT item 3): a result with bulky tiers must still carry
+    metric/value/summary inside that tail window."""
+    filler = [{"n": 1000 * i, "d": 64, "k_max": 32, "kernel": "blocked",
+               "sweeps": 8, "sweeps_per_s": 1.0 + i, "run_s": 8.0,
+               "compile_s": 30.0, "setup_s": 2.0, "ess_est": None,
+               "ess_per_s": None, "tflops": 3.21, "k_active": 8,
+               "mfu_vs_bf16_peak": 0.01, "score_final": -1234567.8,
+               "predictive": None}
+              for i in range(40)]  # ~8 KB of tier entries
+    cmd = _fake_child("""
+    import sys, json
+    prog = sys.argv[1]
+    def emit(o):
+        open(prog, "a").write(json.dumps(o) + "\\n")
+    emit({"event": "start"})
+    emit({"event": "warmup", "s": 1.0, "device": "FakeTPU"})
+    emit({"event": "final", "result": {
+        "metric": "fused Gibbs sweeps/s, 1000000x256 DPMM-NIW K_max=64",
+        "value": 5.28, "unit": "sweeps/s", "vs_baseline": None,
+        "device": "FakeTPU",
+        "ess_tier": {"n": 1000000, "d": 256, "k_max": 64, "sweeps": 100,
+                     "kernel": "fused", "ess_per_s": 1.9},
+        "hdp": {"tokens_per_s": 4.0e7,
+                "predictive": {"perplexity": 2600.0}},
+        "smc": {"n": 1000000, "d": 256, "particles": 16,
+                "rows_per_s": 20000.0, "logz": -3.1e8},
+        "tiers": %s}})
+    """ % (filler,))
+    out, r = _run_parent({
+        "BENCH_CHILD_CMD": cmd,
+        "BENCH_TOTAL_S": "120",
+    })
+    line = r.stdout.strip().splitlines()[-1]
+    assert len(line) > 4096, "test premise: line longer than the window"
+    tail = line[-4096:]
+    assert '"metric"' in tail and '"value": 5.28' in tail
+    assert '"summary"' in tail and '"rows_per_s"' in tail
+    # the parsed dict's final keys are the headline, in order
+    assert list(out.keys())[-2:] == ["value", "metric"]

@@ -361,3 +361,62 @@ def test_sample_post_pred_validates_size():
     s = st.initialize(defn, data, jax.random.key(0))
     with pytest.raises(ValueError):
         st.sample_post_pred(s, jax.random.key(1), size=0)
+
+
+def test_heldout_logp_consistency():
+    """heldout_logp == logsumexp(score_value) - logsumexp(crp weights),
+    and the bb predictive normalizes over {0, 1}."""
+    r = np.random.default_rng(3)
+    n = 40
+    X = r.normal(size=(n, 2)).astype(np.float32)
+    B = (r.random(n) < 0.4).astype(np.float32)
+    defn = st.model_definition(n, [models.niw(2), models.bb], k_max=8)
+    data = (
+        (jnp.asarray(X), jnp.ones(n, jnp.float32)),
+        (jnp.asarray(B), jnp.ones(n, jnp.float32)),
+    )
+    s = st.initialize(defn, data, jax.random.key(0),
+                      cluster_hp={"alpha": 1.5})
+
+    H = 5
+    Xh = r.normal(size=(H, 2)).astype(np.float32)
+    Bh = (r.random(H) < 0.5).astype(np.float32)
+    held = (
+        (jnp.asarray(Xh), jnp.ones(H, jnp.float32)),
+        (jnp.asarray(Bh), jnp.ones(H, jnp.float32)),
+    )
+    got = np.asarray(st.heldout_logp(s, held))
+    assert got.shape == (H,)
+
+    from scipy.special import logsumexp as slse
+
+    crp = np.asarray(st.crp_prior_scores(s))
+    for i in range(H):
+        row = (
+            (jnp.asarray(Xh[i: i + 1]), jnp.ones(1, jnp.float32)),
+            (jnp.asarray(Bh[i: i + 1]), jnp.ones(1, jnp.float32)),
+        )
+        sv = np.asarray(st.score_value(s, row, 0))
+        want = slse(sv) - slse(crp[np.isfinite(crp)])
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+    # bb alone: predictive mass over {0, 1} must be 1
+    defn_b = st.model_definition(n, [models.bb], k_max=8)
+    data_b = ((jnp.asarray(B), jnp.ones(n, jnp.float32)),)
+    sb = st.initialize(defn_b, data_b, jax.random.key(1),
+                       cluster_hp={"alpha": 1.0})
+    vals = (
+        (jnp.asarray(np.array([0.0, 1.0], np.float32)),
+         jnp.ones(2, jnp.float32)),
+    )
+    p = np.exp(np.asarray(st.heldout_logp(sb, vals)))
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+
+    # masked cells contribute nothing: fully-masked row scores 0
+    held_masked = (
+        (jnp.asarray(Xh[:1]), jnp.zeros(1, jnp.float32)),
+        (jnp.asarray(Bh[:1]), jnp.zeros(1, jnp.float32)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.heldout_logp(s, held_masked)), 0.0, atol=1e-5
+    )
