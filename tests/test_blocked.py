@@ -211,3 +211,123 @@ def test_blocked_recovers_clusters_quickly():
     co_true = tz[:, None] == tz[None, :]
     co_pred = z[:, None] == z[None, :]
     assert (co_true == co_pred).mean() > 0.98
+
+
+# ---------------------------------------------------------------------------
+# multi-chain sweep (sweep_chains): wide-matmul chain batching
+# ---------------------------------------------------------------------------
+def _stacked_states(defn, data, C, seed, alpha=1.0):
+    return jax.vmap(
+        lambda k: st.initialize(defn, data, k, cluster_hp={"alpha": alpha})
+    )(jax.random.split(jax.random.key(seed), C))
+
+
+def test_chain_score_table_matches_per_chain():
+    """The expanded-quadratic [N, C, K] table == per-chain logpdf_batch."""
+    r = np.random.default_rng(0)
+    n, d, K, C = 300, 4, 8, 3
+    X = jnp.asarray(r.normal(scale=3.0, size=(n, d)), jnp.float32)
+    defn = st.model_definition(n, [models.niw(d)], k_max=K)
+    data = ((X, jnp.ones(n, jnp.float32)),)
+    states = _stacked_states(defn, data, C, 0)
+    lik = states.likelihoods()[0]
+    thetas = jax.vmap(lik.sample_params)(
+        jax.random.split(jax.random.key(7), C),
+        states.hypers[0], states.stats[0],
+    )
+    logw = jax.vmap(blocked.stick_break_log_weights)(
+        jax.random.split(jax.random.key(9), C), states.counts,
+        states.cluster_hp["alpha"].astype(jnp.float32),
+    )
+    table = blocked._chain_score_table(
+        thetas["mu"], thetas["cov_chol"], logw, X
+    )
+    for c in range(C):
+        th_c = jax.tree_util.tree_map(lambda l: l[c], thetas)
+        ref = lik.logpdf_batch(th_c, X, jnp.ones(n)) + logw[c][None, :]
+        np.testing.assert_allclose(
+            np.asarray(table[:, c, :]), np.asarray(ref),
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_sweep_chains_restat_and_masking():
+    r = np.random.default_rng(1)
+    n, d, K, C = 200, 3, 6, 2
+    X = jnp.asarray(r.normal(size=(n, d)), jnp.float32)
+    defn = st.model_definition(n, [models.niw(d)], k_max=K)
+    data = ((X, jnp.ones(n, jnp.float32)),)
+    states = _stacked_states(defn, data, C, 1)
+    out = jax.jit(blocked.sweep_chains)(states, data, jax.random.key(3))
+    lik = states.likelihoods()[0]
+    z = np.asarray(out.assignments)
+    assert z.shape == (C, n)
+    for c in range(C):
+        np.testing.assert_array_equal(
+            np.asarray(out.counts[c]), np.bincount(z[c], minlength=K)
+        )
+        hyp_c = {k: v[c] for k, v in states.hypers[0].items()}
+        sref = lik.stats_from_assignments(
+            hyp_c, X, jnp.ones(n), jnp.asarray(z[c]), K
+        )
+        for leaf in ("n", "sum_x", "sum_xxT"):
+            np.testing.assert_allclose(
+                np.asarray(out.stats[0][leaf][c]), np.asarray(sref[leaf]),
+                rtol=1e-3, atol=1e-2,
+            )
+    # fully-masked data: stats stay exactly zero, prior-weight assignment
+    data0 = ((X, jnp.zeros(n, jnp.float32)),)
+    out0 = jax.jit(blocked.sweep_chains)(states, data0, jax.random.key(3))
+    assert float(jnp.abs(out0.stats[0]["sum_x"]).sum()) == 0.0
+    assert float(jnp.abs(out0.stats[0]["sum_xxT"]).sum()) == 0.0
+    # non-niw models take the vmapped-sweep fallback and still work
+    defb = st.model_definition(n, [models.bb], k_max=K)
+    B = jnp.asarray(r.integers(0, 2, size=n), jnp.float32)
+    datab = ((B, jnp.ones(n, jnp.float32)),)
+    sb = _stacked_states(defb, datab, C, 2)
+    outb = jax.jit(blocked.sweep_chains)(sb, datab, jax.random.key(4))
+    assert outb.counts.shape == (C, K)
+    np.testing.assert_array_equal(np.asarray(outb.counts).sum(-1), n)
+
+
+def test_sweep_chains_matches_enumeration():
+    """Each chain of sweep_chains is a correct blocked-Gibbs sampler:
+    pooled chain samples match the exact partition posterior."""
+    r = np.random.default_rng(2)
+    n, C = 4, 4
+    defn = st.model_definition(n, [models.niw(2)], k_max=16)
+    data = ((jnp.asarray(r.normal(size=(n, 2)), jnp.float32), jnp.ones(n)),)
+    chp = {"alpha": 1.5}
+    exact = exact_partition_posterior(
+        st.model_definition(n, [models.niw(2)], k_max=5), data, chp
+    )
+    cache = {}
+
+    def sample_fn(nsweeps):
+        if nsweeps not in cache:
+            per_chain = -(-nsweeps // C) + 300
+            states = _stacked_states(defn, data, C, 40 + len(cache),
+                                     alpha=1.5)
+
+            @jax.jit
+            def run(states, key):
+                def body(ss, t):
+                    ss = blocked.sweep_chains(
+                        ss, data, jax.random.fold_in(key, t)
+                    )
+                    return ss, ss.assignments
+
+                return jax.lax.scan(
+                    body, states, jnp.arange(per_chain)
+                )[1]
+
+            za = np.asarray(run(states, jax.random.key(len(cache))))
+            za = za[300:].reshape(-1, n)
+            cache[nsweeps] = [
+                testutil.permutation_canonical(a) for a in za
+            ]
+        return cache[nsweeps]
+
+    testutil.assert_discrete_dist_approx(
+        sample_fn, exact, nsamples=6000, ntries=3, kl_tol=0.03
+    )
