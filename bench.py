@@ -370,8 +370,8 @@ def run_tier(n, d, k_max, sweeps, key, kernel="blocked", heldout=0):
     }
 
 
-def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
-                           chain_counts=(1, 2, 4)):
+def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=40,
+                           chain_counts=(1, 2, 4), repeats=3):
     """On-chip chain scaling: C independent chains on ONE device.
 
     The >= 0.8 multi-host efficiency north star cannot be measured on a
@@ -428,20 +428,45 @@ def run_chain_scaling_tier(key, n=65536, d=16, k_max=16, sweeps=20,
         compiled = jax.jit(run).lower(states, data, key).compile()
         out = compiled(states, data, key)
         _fetch(out.counts)
-        t0 = time.perf_counter()
-        out = compiled(states, data, key)
-        _fetch(out.counts)
-        dt = time.perf_counter() - t0
-        throughput[c] = c * sweeps / dt
+        # median-of-repeats: single timed dispatches over the axon tunnel
+        # jitter by ~30% (measured round 4), which swings the C=1 anchor
+        # and therefore the efficiency ratio
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = compiled(states, data, key)
+            _fetch(out.counts)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        throughput[c] = c * sweeps / times[len(times) // 2]
 
     cs = sorted(chain_counts)
     lo, hi = cs[0], cs[-1]
+    # per-sweep cost model t(C) = latency + per_chain*C (least squares):
+    # the measured ceiling story (BENCH_NOTES.md "Chain scaling") — the
+    # wide-matmul sweep leaves the MXU idle, but the per-chain
+    # elementwise [N, K] passes (logp assembly, Gumbel, argmax, onehot)
+    # are VPU/HBM work that scales with C.
+    import numpy as np
+
+    t_per_sweep = {c: c * sweeps / throughput[c] / sweeps * 1e3
+                   for c in cs}  # ms
+    A = np.stack([np.ones(len(cs)), np.asarray(cs, float)], axis=1)
+    (lat_ms, per_chain_ms), *_ = np.linalg.lstsq(
+        A, np.asarray([t_per_sweep[c] for c in cs]), rcond=None
+    )
     return {
         "mode": "sweep_chains (wide-matmul chain batching), one chip",
         "n": n, "d": d, "k_max": k_max, "sweeps": sweeps,
         "chain_sweeps_per_s": {str(c): round(v, 2)
                                for c, v in throughput.items()},
         "efficiency": round((throughput[hi] / throughput[lo]) / (hi / lo), 4),
+        "sweep_ms_model": {
+            "latency_ms": round(float(lat_ms), 3),
+            "per_chain_ms": round(float(per_chain_ms), 3),
+            "note": "t(C) ~ latency + per_chain*C; includes ~8 ms axon "
+                    "dispatch amortized over the scan",
+        },
     }
 
 

@@ -144,37 +144,33 @@ def assign(state: MixtureState, data, key) -> MixtureState:
 # ---------------------------------------------------------------------------
 # multi-chain sweep: the chain axis folded into the matmul K-dimension
 # ---------------------------------------------------------------------------
-def _chain_score_table(mu, chol, logw, x):
+def _chain_score_table(mu, prec, logdet, logw, x):
     """[N, C, K] blocked-Gibbs score table for C chains sharing one X.
 
     The vmapped per-chain path issues C·K tiny [N, D] @ [D, D] matmuls —
     at chain-scaling shapes (D = K = 16) each uses a sliver of the MXU
     and throughput stops scaling in C (round-3 VERDICT weak item 1,
     efficiency 0.43).  Here the Gaussian quadratic form is EXPANDED,
-        −½‖L⁻¹(x−μ)‖² = −½ xᵀΣ⁻¹x + xᵀΣ⁻¹μ − ½ μᵀΣ⁻¹μ,
+        −½(x−μ)ᵀP(x−μ) = −½ xᵀPx + xᵀPμ − ½ μᵀPμ,    P = Σ⁻¹,
     so scoring all C·K clusters is two WIDE matmuls against shared
     row features:  XX @ Pᵀ  with XX = [N, D²] the once-per-call outer-
     product features, and  X @ Qᵀ  — K-dimension C·K instead of C
     separate scans.  precision="float32" on both: the expansion has a
     genuine cancellation (xᵀPx ≈ μᵀPμ for tight clusters) that the TPU's
     default single-pass-bf16 matmul turns into ~1-nat logp errors.
-    """
-    from jax.scipy.linalg import solve_triangular
 
+    mu [C, K, D], prec [C, K, D, D], logdet [C, K] (log|Sigma|) — the
+    layout `sample_params_prec` returns (vmapped over chains).
+    """
     C, K, D = mu.shape
-    eye = jnp.eye(D, dtype=x.dtype)
-    binv = jax.vmap(lambda c: solve_triangular(c, eye, lower=True))(
-        chol.reshape(C * K, D, D)
-    )                                                     # L⁻¹  [CK, D, D]
-    P = jnp.einsum("mij,mik->mjk", binv, binv)            # Σ⁻¹  [CK, D, D]
-    q = jnp.einsum("mde,me->md", P, mu.reshape(C * K, D))  # Σ⁻¹μ [CK, D]
+    P = prec.reshape(C * K, D, D)
+    q = jnp.einsum(
+        "mde,me->md", P, mu.reshape(C * K, D), precision="float32"
+    )                                                     # Σ⁻¹μ [CK, D]
     r = jnp.sum(q * mu.reshape(C * K, D), axis=-1)        # μᵀΣ⁻¹μ [CK]
-    logdet = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
-    ).reshape(C * K)
     base = (
         logw.reshape(C * K)
-        - 0.5 * logdet
+        - 0.5 * logdet.reshape(C * K)
         - 0.5 * D * jnp.log(2.0 * jnp.pi)
         - 0.5 * r
     )
@@ -217,9 +213,9 @@ def sweep_chains(states: MixtureState, data, key,
     lik = states.likelihoods()[0]
     kth, kv, kz = jax.random.split(key, 3)
 
-    thetas = jax.vmap(lik.sample_params)(
+    thetas = jax.vmap(lik.sample_params_prec)(
         jax.random.split(kth, C), states.hypers[0], states.stats[0]
-    )  # {mu: [C,K,D], cov_chol: [C,K,D,D]}
+    )  # {mu: [C,K,D], prec: [C,K,D,D], logdet: [C,K]}
     if states.fixed:
         logw = jax.vmap(dirichlet_log_weights)(
             jax.random.split(kv, C), states.counts,
@@ -231,7 +227,9 @@ def sweep_chains(states: MixtureState, data, key,
             states.cluster_hp["alpha"].astype(jnp.float32),
         )  # [C, K]
 
-    logp = _chain_score_table(thetas["mu"], thetas["cov_chol"], logw, x)
+    logp = _chain_score_table(
+        thetas["mu"], thetas["prec"], thetas["logdet"], logw, x
+    )
     g = jax.random.gumbel(kz, (N, C, K), logp.dtype)
     z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)       # [N, C]
     # fully-masked rows carry no likelihood: assign from the weights alone

@@ -265,6 +265,68 @@ class NIW(base.Likelihood):
         chol = jnp.where(bad[..., None, None], chol2, chol)
         return {"mu": mu, "cov_chol": chol}
 
+    def sample_params_prec(self, key, hyper, stats):
+        """theta = (mu, precision, logdet Sigma) ~ NIW posterior.
+
+        Same posterior draw as `sample_params` (identical Bartlett
+        construction, same key layout) but returns the PRECISION matrix
+        instead of a covariance Cholesky, computed purely from the
+        factors already in hand:  with Sigma = M Mᵀ and M = L A⁻ᵀ,
+            Sigma⁻¹ = L⁻ᵀ (A Aᵀ) L⁻¹,     log|Sigma| = 2Σlog diag L
+                                                       − 2Σlog diag A,
+        so the whole draw costs ONE Cholesky (of psi_n) and one
+        triangular solve — `sample_params` needs two more Choleskys (plus
+        a NaN-retry third) only to produce a canonical triangular factor.
+        Consumers that score via the quadratic form (kernels/blocked.py
+        `sweep_chains`) don't need that factor, and the Cholesky chain is
+        the dominant fixed latency of a multi-chain sweep at small D
+        (measured round 4: ~0.30 ms of a 0.64 ms sweep at D=K=16).
+        """
+        d = hyper["mu0"].shape[-1]
+        post = self.posterior_hyper(hyper, stats)
+        mu_n, kappa_n, psi_n, nu_n = (
+            post["mu0"], post["kappa"], post["psi"], post["nu"],
+        )
+        batch = psi_n.shape[:-2]
+        kn, kc, km = jax.random.split(key, 3)
+        normals = jax.random.normal(kn, (*batch, d, d), psi_n.dtype)
+        i = jnp.arange(d, dtype=psi_n.dtype)
+        chi_df = jnp.maximum(nu_n[..., None] - i, 1e-3)
+        chi = 2.0 * jax.random.gamma(kc, chi_df / 2.0, dtype=psi_n.dtype)
+        A = jnp.tril(normals, -1) + jnp.sqrt(chi)[..., :, None] * jnp.eye(
+            d, dtype=psi_n.dtype
+        )
+        L = jnp.linalg.cholesky(psi_n)
+        eye = jnp.eye(d, dtype=psi_n.dtype)
+        Li = solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
+        # Sigma^{-1} = L^{-T} (A A^T) L^{-1};  symmetrize for safety.
+        # f32 precision is load-bearing: consumers feed `prec` into an
+        # expanded quadratic form whose cancellation amplifies input
+        # error, and the TPU's default single-pass-bf16 einsum here
+        # corrupts P enough to visibly bias the sampler (measured round
+        # 4: a 4000-row cluster-recovery drive dropped from 1.00 to 0.79
+        # co-assignment agreement with default precision).
+        W = jnp.einsum("...ij,...kj->...ik", A, A, precision="float32")
+        prec = jnp.einsum(
+            "...ji,...jk,...kl->...il", Li, W, Li, precision="float32"
+        )
+        prec = 0.5 * (prec + jnp.swapaxes(prec, -1, -2))
+        logdet = 2.0 * (
+            jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+            - jnp.sum(jnp.log(jnp.abs(
+                jnp.diagonal(A, axis1=-2, axis2=-1)
+            )), axis=-1)
+        )
+        # mu = mu_n + M z / sqrt(kappa_n), M z = L (A^{-T} z)
+        z = jax.random.normal(km, (*batch, d), psi_n.dtype)
+        y = solve_triangular(
+            jnp.swapaxes(A, -1, -2), z[..., None], lower=False
+        )
+        mu = mu_n + jnp.einsum(
+            "...ij,...j->...i", L, y[..., 0]
+        ) / jnp.sqrt(kappa_n)[..., None]
+        return {"mu": mu, "prec": prec, "logdet": logdet}
+
     def logpdf(self, theta, x):
         d = x.shape[-1]
         chol = theta["cov_chol"]

@@ -10,6 +10,8 @@ fallback logic with fake children, entirely without a TPU.
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 import tempfile
@@ -105,6 +107,8 @@ def test_cpu_fallback_clamps_forced_shapes():
     assert tier["d"] <= 32
 
 
+@pytest.mark.slow  # heavy subprocess spawn; the force-cpu +
+# partial-progress tests keep the one-JSON-line contract in the fast gate
 def test_stalled_child_is_abandoned_not_killed():
     """A child that never warms up: the parent falls back to CPU, prints
     JSON, exits 0, and the fake child is left alive (no signal sent)."""
@@ -170,6 +174,8 @@ def test_partial_child_progress_is_reported():
     assert out["device"] == "FakeTPU"
 
 
+@pytest.mark.slow  # heavy subprocess spawn; the force-cpu +
+# partial-progress tests keep the one-JSON-line contract in the fast gate
 def test_final_child_result_passes_through():
     cmd = _fake_child("""
     import sys, json
@@ -196,6 +202,8 @@ def test_final_child_result_passes_through():
     assert out["tpu_preflight_failed"] is False
 
 
+@pytest.mark.slow  # heavy subprocess spawn; the force-cpu +
+# partial-progress tests keep the one-JSON-line contract in the fast gate
 def test_headline_survives_tail_truncation():
     """The driver's official record keeps only the LAST 4 KB of output
     (round-3 VERDICT item 3): a result with bulky tiers must still carry

@@ -223,7 +223,9 @@ def _stacked_states(defn, data, C, seed, alpha=1.0):
 
 
 def test_chain_score_table_matches_per_chain():
-    """The expanded-quadratic [N, C, K] table == per-chain logpdf_batch."""
+    """The expanded-quadratic [N, C, K] table == per-chain logpdf_batch,
+    and sample_params_prec is the SAME posterior draw as sample_params
+    (identical key layout -> identical mu, prec = (L Lᵀ)⁻¹)."""
     r = np.random.default_rng(0)
     n, d, K, C = 300, 4, 8, 3
     X = jnp.asarray(r.normal(scale=3.0, size=(n, d)), jnp.float32)
@@ -231,23 +233,44 @@ def test_chain_score_table_matches_per_chain():
     data = ((X, jnp.ones(n, jnp.float32)),)
     states = _stacked_states(defn, data, C, 0)
     lik = states.likelihoods()[0]
+    keys = jax.random.split(jax.random.key(7), C)
     thetas = jax.vmap(lik.sample_params)(
-        jax.random.split(jax.random.key(7), C),
-        states.hypers[0], states.stats[0],
+        keys, states.hypers[0], states.stats[0]
     )
+    thetas_p = jax.vmap(lik.sample_params_prec)(
+        keys, states.hypers[0], states.stats[0]
+    )
+    # same draw: identical mu; prec inverts the covariance; logdet agrees
+    np.testing.assert_allclose(
+        np.asarray(thetas_p["mu"]), np.asarray(thetas["mu"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    chol = np.asarray(thetas["cov_chol"], np.float64)
+    sigma = chol @ np.swapaxes(chol, -1, -2)
+    np.testing.assert_allclose(
+        np.asarray(thetas_p["prec"], np.float64) @ sigma,
+        np.broadcast_to(np.eye(d), sigma.shape),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(thetas_p["logdet"]),
+        2.0 * np.log(np.diagonal(chol, axis1=-2, axis2=-1)).sum(-1),
+        rtol=1e-4, atol=1e-4,
+    )
+
     logw = jax.vmap(blocked.stick_break_log_weights)(
         jax.random.split(jax.random.key(9), C), states.counts,
         states.cluster_hp["alpha"].astype(jnp.float32),
     )
     table = blocked._chain_score_table(
-        thetas["mu"], thetas["cov_chol"], logw, X
+        thetas_p["mu"], thetas_p["prec"], thetas_p["logdet"], logw, X
     )
     for c in range(C):
         th_c = jax.tree_util.tree_map(lambda l: l[c], thetas)
         ref = lik.logpdf_batch(th_c, X, jnp.ones(n)) + logw[c][None, :]
         np.testing.assert_allclose(
             np.asarray(table[:, c, :]), np.asarray(ref),
-            rtol=2e-4, atol=2e-4,
+            rtol=2e-4, atol=2e-3,
         )
 
 

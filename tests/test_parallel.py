@@ -132,6 +132,8 @@ def test_sharded_blocked_matches_enumeration(cpu_devices):
     )
 
 
+@pytest.mark.slow  # ~35 s (median-of-3 ladder); plumbing also
+# exercised every bench run
 def test_scaling_efficiency_harness(cpu_devices):
     """Measurement plumbing for the BASELINE.md >=0.8 efficiency north
     star: throughputs at 1/2/4 shards are positive and the efficiency
@@ -148,6 +150,7 @@ def test_scaling_efficiency_harness(cpu_devices):
     assert res["n"] % 4 == 0
 
 
+@pytest.mark.slow  # ~26 s; per-family enumeration oracles stay fast
 def test_multichain_hdp_and_irm():
     """Family-generic chain vmap: independent HDP and IRM chains advance
     in one compiled program and stay independent."""

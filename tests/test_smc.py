@@ -262,6 +262,8 @@ def test_block_smc_rejects_nonconjugate():
         smc.run_blocked(parts, data, jax.random.key(1), block=2)
 
 
+@pytest.mark.slow  # ~50 s; row-variant sharded agreement +
+# multichip dryrun cover the collective path in the fast gate
 def test_block_smc_sharded_matches_single_device(cpu_devices):
     n = 6
     r = np.random.default_rng(1)
