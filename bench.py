@@ -1455,8 +1455,9 @@ def main():
                     default=float(os.environ.get("BENCH_BUDGET_S", 330.0)))
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--smc", action="store_true",
-                    help="(default-on) block-SMC rows/s tier (config 5; "
-                    "runs last — disable with BENCH_SKIP_SMC=1)")
+                    help="(default-on) block-SMC rows/s tier at the "
+                    "config-5 stated shape 1M x 256 (disable with "
+                    "BENCH_SKIP_SMC=1)")
     # accepted for CLI compatibility; these tiers are default-on now
     ap.add_argument("--hdp", action="store_true",
                     help="(default-on) HDP config-4 tier")
