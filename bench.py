@@ -1172,7 +1172,19 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "hdp", "err": repr(e)})
 
-    # 5./6. configs 2-3 at their stated scale (config 2 now also times
+    # 5. on-chip chain scaling — promoted above the config tiers in
+    # round 4: it showcases the sweep_chains rebuild (VERDICT r3 item 2)
+    # and the round-3 rehearsal starved it (87 s left at child finish)
+    if not args.smoke and remaining() > 90.0:
+        try:
+            result["chains_on_chip"] = run_chain_scaling_tier(
+                jax.random.key(11)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
+
+    # 6./7. configs 2-3 at their stated scale (config 2 now also times
     # the fused bbv kernel and scores held-out rows)
     if not args.smoke and remaining() > 75.0:
         try:
@@ -1192,7 +1204,7 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
-    # 7. secondary honest-ESS tier at 100k x 64 (round-3 continuity)
+    # 8. secondary honest-ESS tier at 100k x 64 (round-3 continuity)
     if (not args.smoke and result.get("ess_tier") is None
             and remaining() > 45.0):
         try:
@@ -1204,17 +1216,6 @@ def child_main(args):
             _emit(fp, {"event": "result", "result": result})
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "ess", "err": repr(e)})
-
-    # 8. on-chip chain scaling — lowest priority: the parent's CPU-mesh
-    # check already populates `efficiency`, so this proxy is a bonus
-    if not args.smoke and remaining() > 90.0:
-        try:
-            result["chains_on_chip"] = run_chain_scaling_tier(
-                jax.random.key(11)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
 
     _emit(fp, {"event": "final", "result": result,
                "remaining_s": round(remaining(), 1)})
