@@ -1328,6 +1328,19 @@ def parent_main(args):
                 "virtual CPU mesh: collective/plumbing overhead check, "
                 "not a multi-chip hardware claim"
             )
+            # The virtual shards share physical cores with the TPU
+            # child's host work, so the ratio is only meaningful when the
+            # per-shard timing spread is tight; otherwise report the
+            # plumbing result without an efficiency claim (round-3 weak
+            # item 2: the noisy ratio was worse than no ratio).
+            worst_spread = max(eff.get("spread", {"x": 1.0}).values())
+            if worst_spread > 0.35:
+                eff["efficiency"] = None
+                eff["efficiency_suppressed"] = (
+                    f"per-shard timing spread up to {worst_spread:.2f} "
+                    "(>0.35) under a busy parent; throughput/spread "
+                    "retained as a plumbing check"
+                )
             cpu_mesh_box["result"] = eff
         except Exception as e:
             print(f"# cpu mesh scaling failed: {e!r}", file=sys.stderr)

@@ -185,7 +185,10 @@ def _chain_score_table(mu, prec, logdet, logw, x):
 
 
 def sweep_chains(states: MixtureState, data, key,
-                 d_max_xx: int = 64) -> MixtureState:
+                 d_max_xx: int = 64, fused: bool = False,
+                 tile_n: int = 1024, k_tile: int = 8,
+                 interpret: bool = False,
+                 assume_dense_mask: bool = False) -> MixtureState:
     """One blocked sweep of C stacked chains sharing one dataset.
 
     `states`: a chain-stacked MixtureState (leading axis C on every leaf,
@@ -201,6 +204,16 @@ def sweep_chains(states: MixtureState, data, key,
     Requirements: a single `niw` feature and D² features affordable
     (D <= d_max_xx); anything else falls back to a vmapped `sweep`
     (correct, but without the wide-matmul scaling fix).
+
+    fused=True routes score+Gumbel+per-chain-argmax through the Pallas
+    multi-chain kernel (ops/gaussian_assign.fused_gaussian_assign_chains)
+    — X streams from HBM once for all chains and the [N, C, K] logp /
+    Gumbel tables never materialize.  assume_dense_mask=True additionally
+    skips the masked-row prior-fallback pass (safe when the mask is known
+    all-ones, e.g. the bench tiers); with False the fallback costs one
+    [N, C, K] Gumbel+argmax pass.  interpret=True runs the kernel through
+    the Pallas interpreter for CPU tests (its PRNG is stubbed — sampler
+    DISTRIBUTION is only meaningful on a real TPU).
     """
     C = states.counts.shape[0]
     if states.lik_names != ("niw",) or data[0][0].shape[-1] > d_max_xx:
@@ -227,15 +240,45 @@ def sweep_chains(states: MixtureState, data, key,
             states.cluster_hp["alpha"].astype(jnp.float32),
         )  # [C, K]
 
-    logp = _chain_score_table(
-        thetas["mu"], thetas["prec"], thetas["logdet"], logw, x
-    )
-    g = jax.random.gumbel(kz, (N, C, K), logp.dtype)
-    z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)       # [N, C]
-    # fully-masked rows carry no likelihood: assign from the weights alone
-    z_prior = jnp.argmax(logw[None, :, :] + g, axis=-1).astype(jnp.int32)
     m = jnp.asarray(mask, x.dtype)
-    z = jnp.where(m[:, None] > 0, z, z_prior)
+    if fused:
+        # Pallas path: X streams once for ALL chains; score, Gumbel and
+        # per-chain argmax never touch HBM (kills the [N, C, K]
+        # elementwise passes that cap scaling — BENCH_NOTES round 4).
+        # `minv` (the Bartlett precision square root) plays binv:
+        # ‖minv (x−μ)‖² is the same Mahalanobis form.
+        from common_tpu.ops.gaussian_assign import (
+            fused_gaussian_assign_chains,
+        )
+
+        base = (
+            logw
+            - 0.5 * thetas["logdet"]
+            - 0.5 * D * jnp.log(2.0 * jnp.pi)
+        ).reshape(C * K)
+        seed = jax.random.randint(kz, (), 0, jnp.iinfo(jnp.int32).max)
+        z = fused_gaussian_assign_chains(
+            x, thetas["mu"].reshape(C * K, D),
+            thetas["minv"].reshape(C * K, D, D), base, seed, C,
+            tile_n=tile_n, k_tile=k_tile, interpret=interpret,
+        ).T                                                   # [N, C]
+        if not assume_dense_mask:
+            g = jax.random.gumbel(jax.random.fold_in(kz, 1), (N, C, K))
+            z_prior = jnp.argmax(
+                logw[None, :, :] + g, axis=-1
+            ).astype(jnp.int32)
+            z = jnp.where(m[:, None] > 0, z, z_prior)
+    else:
+        logp = _chain_score_table(
+            thetas["mu"], thetas["prec"], thetas["logdet"], logw, x
+        )
+        g = jax.random.gumbel(kz, (N, C, K), logp.dtype)
+        z = jnp.argmax(logp + g, axis=-1).astype(jnp.int32)   # [N, C]
+        # fully-masked rows: assign from the weights alone
+        z_prior = jnp.argmax(
+            logw[None, :, :] + g, axis=-1
+        ).astype(jnp.int32)
+        z = jnp.where(m[:, None] > 0, z, z_prior)
 
     # restat: all C chains in two wide matmuls against shared (X, XX)
     onehot = (z[:, :, None] == jnp.arange(K)[None, None, :]).astype(x.dtype)

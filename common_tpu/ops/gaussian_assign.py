@@ -158,6 +158,141 @@ def fused_gaussian_assign(X, mu, binv, base, seed, tile_n: int = 1024,
     return z.reshape(n_pad)[:n]
 
 
+# ---------------------------------------------------------------------------
+# multi-chain variant: per-(row, chain) argmax over each chain's K slots
+# ---------------------------------------------------------------------------
+def _assign_chains_kernel(tiles_per_chain, seed_ref, base_ref, x_ref,
+                          mu_ref, binv_ref, z_ref, best_ref, arg_ref):
+    """Grid (row tiles, C*K/k_tile cluster tiles, chain-major).
+
+    Identical math to `_assign_kernel`, but the running (max, argmax)
+    resets at each chain's FIRST cluster tile and the z column for chain
+    c is emitted at its LAST — cluster tiles never straddle chains
+    (k_tile divides K), so the scratch is one [tile_n] pair.
+    """
+    tile_n, d = x_ref.shape
+    k_tile = mu_ref.shape[0]
+    j = pl.program_id(1)
+    num_k = pl.num_programs(1)
+    jj = j % tiles_per_chain  # tile index within this chain
+
+    @pl.when(jj == 0)
+    def _init():
+        best_ref[:] = jnp.full((tile_n,), -jnp.inf, jnp.float32)
+        arg_ref[:] = jnp.zeros((tile_n,), jnp.int32)
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * num_k + j)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((tile_n, k_tile)), jnp.uint32)
+    gumbel = -jnp.log(-jnp.log(_uniform_from_bits(bits)))
+
+    x = x_ref[:]
+    best = best_ref[:]
+    arg = arg_ref[:]
+    k_base = jj * k_tile  # within-chain slot id of this tile's first slot
+    for i in range(k_tile):
+        dev = x - mu_ref[i, :]
+        y = jax.lax.dot_general(
+            dev, binv_ref[i],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        quad = jnp.sum(y * y, axis=-1)
+        lp = base_ref[j * k_tile + i] - 0.5 * quad + gumbel[:, i]
+        take = lp > best
+        best = jnp.where(take, lp, best)
+        arg = jnp.where(take, k_base + jnp.int32(i), arg)
+    best_ref[:] = best
+    arg_ref[:] = arg
+
+    @pl.when(jj == tiles_per_chain - 1)
+    def _emit():
+        z_ref[0, :, :] = arg_ref[:].reshape(tile_n // 128, 128)
+
+
+@partial(jax.jit, static_argnames=("n_chains", "tile_n", "k_tile",
+                                   "interpret"))
+def fused_gaussian_assign_chains(X, mu, binv, base, seed, n_chains: int,
+                                 tile_n: int = 1024, k_tile: int = 8,
+                                 interpret: bool = False):
+    """Per-chain categorical draws for C chains sharing one X: z [C, N].
+
+    mu [C*K, D], binv [C*K, D, D], base [C*K] are chain-major flattened
+    (chain c owns slots [c*K, (c+1)*K)); the argmax for each row is taken
+    independently within each chain's slot range, with independent
+    on-core Gumbel noise per (row-tile, cluster-tile).  X streams from
+    HBM once for ALL chains — the multi-chain analog of
+    `fused_gaussian_assign`, removing the [N, C, K] logp/Gumbel/argmax
+    HBM passes that cap `blocked.sweep_chains` scaling (BENCH_NOTES.md
+    round 4 "Chain scaling": the W ≈ 0.15-0.2 ms/chain elementwise term).
+    """
+    if tile_n % 1024:
+        raise ValueError(f"tile_n must be a multiple of 1024, got {tile_n}")
+    n, d = X.shape
+    ck = mu.shape[0]
+    if ck % n_chains:
+        raise ValueError(f"mu rows {ck} must be n_chains*K, C={n_chains}")
+    k = ck // n_chains
+    # Mosaic requires the cluster-tile (sublane) dim divisible by 8 when
+    # the block is a strict slice of the [C*K, D] array — so k_tile is
+    # 8-aligned and each chain's K pads up to a multiple of it with -inf
+    # base logits (never selected).
+    k_tile = max(8, min(k_tile, -(-k // 8) * 8) // 8 * 8)
+    k_pad = -(-k // k_tile) * k_tile
+    if k_pad != k:
+        mu = mu.reshape(n_chains, k, d)
+        mu = jnp.pad(mu, ((0, 0), (0, k_pad - k), (0, 0))).reshape(-1, d)
+        binv = binv.reshape(n_chains, k, d, d)
+        binv = jnp.pad(
+            binv, ((0, 0), (0, k_pad - k), (0, 0), (0, 0))
+        ).reshape(-1, d, d)
+        base = jnp.pad(
+            base.reshape(n_chains, k), ((0, 0), (0, k_pad - k)),
+            constant_values=-jnp.inf,
+        ).reshape(-1)
+        ck = n_chains * k_pad
+    tiles_per_chain = k_pad // k_tile
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        X = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // tile_n, ck // k_tile)
+    z = pl.pallas_call(
+        partial(_assign_chains_kernel, tiles_per_chain),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_n, d), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_tile, d), lambda i, j, *_: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_tile, d, d), lambda i, j, *_: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_n // 128, 128),
+                lambda i, j, *_, tpc=tiles_per_chain: (j // tpc, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tile_n,), jnp.float32),
+                pltpu.VMEM((tile_n,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chains, n_pad // 128, 128), jnp.int32
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray(base, jnp.float32),
+        jnp.asarray(X, jnp.float32),
+        jnp.asarray(mu, jnp.float32),
+        jnp.asarray(binv, jnp.float32),
+    )
+    return z.reshape(n_chains, n_pad)[:, :n]
+
+
 @jax.jit
 def gaussian_assign_reference(X, mu, binv, base, key):
     """XLA reference of the same sampler (tests + CPU fallback): builds

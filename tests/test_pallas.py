@@ -328,3 +328,117 @@ def test_tpu_headline_shape_d256_k64():
     )
     # strict mode must reach f32x3 accuracy
     np.testing.assert_allclose(got_strict, want, rtol=1e-4, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# multi-chain fused assignment (fused_gaussian_assign_chains)
+# ---------------------------------------------------------------------------
+def test_chains_interpret_dominance_and_mapping():
+    """Deterministic checks runnable under the interpreter (whose PRNG is
+    stubbed): a dominant base logit per chain must win everywhere, chain
+    slot ranges must not leak into each other, and padding must not leak
+    into the output."""
+    from common_tpu.ops.gaussian_assign import fused_gaussian_assign_chains
+
+    r = np.random.default_rng(0)
+    n, d, K, C = 1500, 8, 16, 3  # n not a multiple of tile_n
+    X = jnp.asarray(r.normal(size=(n, d)), jnp.float32)
+    mu = jnp.zeros((C * K, d), jnp.float32)
+    binv = jnp.asarray(np.tile(np.eye(d), (C * K, 1, 1)), jnp.float32)
+    base = np.zeros(C * K, np.float32)
+    targets = [3, 9, 14]
+    for c, t in enumerate(targets):
+        base[c * K + t] = 1000.0
+    with pltpu.force_tpu_interpret_mode():
+        z = np.asarray(fused_gaussian_assign_chains(
+            X, mu, binv, jnp.asarray(base), 7, C, k_tile=8
+        ))
+    assert z.shape == (C, n)
+    for c, t in enumerate(targets):
+        np.testing.assert_array_equal(z[c], t)
+
+    # without dominance: every chain's draws stay inside [0, K)
+    with pltpu.force_tpu_interpret_mode():
+        z2 = np.asarray(fused_gaussian_assign_chains(
+            X, jnp.asarray(r.normal(size=(C * K, d)), jnp.float32), binv,
+            jnp.asarray(r.normal(size=C * K), jnp.float32), 11, C, k_tile=8
+        ))
+    assert z2.min() >= 0 and z2.max() < K
+
+
+def test_sweep_chains_fused_interpret_invariants():
+    """sweep_chains(fused=True) through the interpreter: counts match
+    assignments per chain and suffstats match stats_from_assignments."""
+    r = np.random.default_rng(1)
+    n, d, K, C = 1200, 4, 8, 2
+    X = jnp.asarray(r.normal(size=(n, d)), jnp.float32)
+    defn = st.model_definition(n, [models.niw(d)], k_max=K)
+    data = ((X, jnp.ones(n, jnp.float32)),)
+    states = jax.vmap(
+        lambda k: st.initialize(defn, data, k, cluster_hp={"alpha": 1.0})
+    )(jax.random.split(jax.random.key(0), C))
+    lik = states.likelihoods()[0]
+    with pltpu.force_tpu_interpret_mode():
+        out = blocked.sweep_chains(
+            states, data, jax.random.key(3), fused=True,
+            assume_dense_mask=True,
+        )
+    z = np.asarray(out.assignments)
+    for c in range(C):
+        np.testing.assert_array_equal(
+            np.asarray(out.counts[c]), np.bincount(z[c], minlength=K)
+        )
+        hyp_c = {k: v[c] for k, v in states.hypers[0].items()}
+        sref = lik.stats_from_assignments(
+            hyp_c, X, jnp.ones(n), jnp.asarray(z[c]), K
+        )
+        for leaf in ("n", "sum_x", "sum_xxT"):
+            np.testing.assert_allclose(
+                np.asarray(out.stats[0][leaf][c]), np.asarray(sref[leaf]),
+                rtol=1e-3, atol=1e-2,
+            )
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_tpu_chains_sampling_distribution():
+    """Real-chip check of the multi-chain kernel's randomness: per-(row,
+    chain) assignment frequencies match softmax probs, and chains draw
+    INDEPENDENT noise (their argmaxes at an ambiguous row decorrelate).
+    TPU-only: the interpreter's PRNG is stubbed (identical bits)."""
+    from common_tpu.ops.gaussian_assign import fused_gaussian_assign_chains
+
+    d, K, C, n = 4, 5, 3, 64
+    r = np.random.default_rng(1)
+    mu0 = r.normal(scale=0.8, size=(K, d))
+    mu = jnp.asarray(np.tile(mu0, (C, 1)), jnp.float32)  # same per chain
+    X = jnp.asarray(r.normal(scale=1.0, size=(n, d)), jnp.float32)
+    binv = jnp.asarray(np.stack([np.eye(d, dtype=np.float32)] * (C * K)))
+    base0 = r.normal(size=K)
+    base = jnp.asarray(np.tile(base0, C), jnp.float32)
+
+    dev = np.asarray(X)[:, None, :] - mu0[None]
+    logp = base0[None, :] - 0.5 * np.sum(dev * dev, axis=-1)
+    e = np.exp(logp - logp.max(1, keepdims=True))
+    probs = e / e.sum(1, keepdims=True)
+
+    tpu = [d_ for d_ in jax.devices() if d_.platform != "cpu"][0]
+    reps = 300
+    counts = np.zeros((C, n, K))
+    agree = 0
+    with jax.default_device(tpu):
+        for i in range(reps):
+            z = np.asarray(fused_gaussian_assign_chains(
+                X, mu, binv, base, 100 + i, C, k_tile=8
+            ))
+            for c in range(C):
+                counts[c, np.arange(n), z[c]] += 1
+            agree += (z[0] == z[1]).mean() / reps
+    freq = counts / reps
+    for c in range(C):
+        assert np.abs(freq[c] - probs).max() < 0.15, c
+        assert np.abs(freq[c].mean(0) - probs.mean(0)).max() < 0.03, c
+    # identical parameters but independent noise: chains agree only as
+    # often as two independent draws from the same per-row distribution
+    expected_agree = float((probs ** 2).sum(1).mean())
+    assert abs(agree - expected_agree) < 0.1, (agree, expected_agree)
