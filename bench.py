@@ -262,7 +262,10 @@ def build_tier_fn(n, d, k_max, sweeps, kernel="blocked", heldout=0):
         def body(state, t):
             kt = jax.random.fold_in(key, t)
             if kernel == "fused":
-                state = blocked.sweep_fused(state, data, kt)
+                # k_tile=24 measured +1.7% over the round-3 default 16 at
+                # the 1M x 256 K=64 headline (5.55 vs 5.46 sweeps/s,
+                # 3-rep A/B); 32 exceeds v5e scoped VMEM
+                state = blocked.sweep_fused(state, data, kt, k_tile=24)
             else:
                 state = blocked.sweep(state, data, kt)
             return state, st.score_joint(state)
@@ -770,8 +773,9 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
         # a 3-sweep state is far from converged — chain a few more calls
         # of the already-compiled program (outside the timed region) so
         # the perplexity reflects a usable posterior, then score the
-        # held-out tokens
-        for c in range(3):
+        # held-out tokens (each call costs `sweeps` extra sweeps, ~2.6 s
+        # at config-4 scale)
+        for c in range(5):
             out, _ = run_c(out, words, mask, jax.random.fold_in(key, 50 + c))
         _fetch(out.topic_total)
         # host-side subset of the held positions (data-dependent size),

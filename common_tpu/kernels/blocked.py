@@ -311,9 +311,11 @@ def sweep_fused(state: MixtureState, data, key, tile_n: int = 1024,
     Same sampler as `sweep`, but the [N, K] score table never touches HBM
     and, with fused_restat, the scatter-matrix rebuild streams X once per
     cluster tile instead of once per cluster (ops/suffstat.py).
-    (tile_n=1024, k_tile=16) measured fastest at the 1M x 256 K=64
-    headline — 5.27 sweeps/s vs 4.49 at k_tile=8; k_tile=32 and
-    tile_n=4096 exceed VMEM/compile limits on v5e.  Supported
+    Tile tuning at the 1M x 256 K=64 headline (measured): k_tile
+    8 → 4.6, 16 → 5.46, **24 → 5.56 sweeps/s** (round-4 3-rep A/B);
+    k_tile=32, tile_n=2048+ and tile_n=4096 are slower or exceed v5e
+    scoped-VMEM/compile limits.  The conservative default stays 16;
+    perf-critical callers pass k_tile=24.  Supported
     models: a single ``niw`` feature (the headline 1M-row dense-Gaussian
     configuration; ops/gaussian_assign.py) or a single ``bbv`` feature
     (config-2 binary matrices; the linear-score kernel
