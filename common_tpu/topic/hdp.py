@@ -345,13 +345,20 @@ def sample_concentrations(
 # blocked (uncollapsed) sweep — the parallel perf path
 # ---------------------------------------------------------------------------
 def _draw_phi_theta(state: HDPState, key):
+    from common_tpu.utils import fastrand
+
     kphi, kth = jax.random.split(key)
     eta = state.hypers["eta"]
     alpha = state.hypers["alpha"]
     K = state.n_topics
     phi = jax.random.dirichlet(kphi, state.topic_word + eta)        # [K, V]
     conc = state.doc_topic + alpha * state.beta[:K][None, :]
-    theta = jax.random.dirichlet(kth, conc)                          # [D, K]
+    # fixed-rounds Marsaglia-Tsang Dirichlet (utils/fastrand.py): the
+    # [D, K] theta draw is 32M small-shape gammas at config-4 scale and
+    # jax.random.dirichlet's rejection while_loop cost 0.54 s of the
+    # 1.23 s sweep (44%, measured round 4) — fastrand is ~10x cheaper
+    # and KS-validated to the same distribution (tests/test_fastrand.py)
+    theta = fastrand.dirichlet(kth, conc)                            # [D, K]
     return phi, theta
 
 
@@ -608,7 +615,10 @@ def make_sharded_sweep_dense(mesh, state: HDPState, words, mask):
             jax.random.fold_in(kd, 0), state.topic_word + eta
         )
         conc = state.doc_topic + alpha * state.beta[:K][None, :]
-        theta = jax.random.dirichlet(
+        # fastrand: same per-doc theta fast path as _draw_phi_theta
+        from common_tpu.utils import fastrand
+
+        theta = fastrand.dirichlet(
             jax.random.fold_in(jax.random.fold_in(kd, 1), shard), conc
         )  # [d_loc, K]
         log_phi_t = jnp.log(jnp.clip(phi, 1e-30)).T  # [V, K]
