@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
+
+from common_tpu.utils.linalg import cholesky as _cholesky
 from jax.scipy.special import gammaln, multigammaln
 
 from common_tpu.likelihoods import base
@@ -206,7 +208,7 @@ class NIW(base.Likelihood):
         )
         df = nu_n - d + 1.0
         scale = ((kappa_n + 1.0) / (kappa_n * df))[..., None, None] * psi_n
-        chol = jnp.linalg.cholesky(scale)
+        chol = _cholesky(scale)  # batched-panel fast path (utils/linalg.py)
         dev = jnp.broadcast_to(x - mu_n, mu_n.shape)[..., None]
         y = solve_triangular(chol, dev, lower=True)[..., 0]
         quad = jnp.sum(y * y, axis=-1)
@@ -238,7 +240,7 @@ class NIW(base.Likelihood):
         chi_df = jnp.maximum(nu_n[..., None] - i, 1e-3)  # [*, d]
         chi = 2.0 * jax.random.gamma(kc, chi_df / 2.0, dtype=psi_n.dtype)
         A = jnp.tril(normals, -1) + jnp.sqrt(chi)[..., :, None] * jnp.eye(d, dtype=psi_n.dtype)
-        L = jnp.linalg.cholesky(psi_n)
+        L = _cholesky(psi_n)  # batched-panel fast path (utils/linalg.py)
         # M = L @ A^{-T}  (solve A M^T = L^T for M^T; A lower)
         Mt = solve_triangular(A, jnp.swapaxes(L, -1, -2), lower=True)
         M = jnp.swapaxes(Mt, -1, -2)  # M M^T = Sigma ~ IW(nu_n, psi_n)
@@ -254,14 +256,14 @@ class NIW(base.Likelihood):
         # QR-of-Mᵀ factorization would avoid the Gram matrix entirely but
         # lowers poorly on TPU; cholesky is the proven-fast path.
         sigma = jnp.einsum("...ij,...kj->...ik", M, M)
-        chol = jnp.linalg.cholesky(sigma)
+        chol = _cholesky(sigma)
         bad = jnp.isnan(
             jnp.diagonal(chol, axis1=-2, axis2=-1)
         ).any(axis=-1)  # [*batch]
         tr = jnp.einsum("...ii->...", sigma) / d
         eye = jnp.eye(d, dtype=sigma.dtype)
         jitter = (1e-5 * tr + 1e-30)[..., None, None] * eye
-        chol2 = jnp.linalg.cholesky(sigma + jitter)
+        chol2 = _cholesky(sigma + jitter)
         chol = jnp.where(bad[..., None, None], chol2, chol)
         return {"mu": mu, "cov_chol": chol}
 
@@ -296,7 +298,7 @@ class NIW(base.Likelihood):
         A = jnp.tril(normals, -1) + jnp.sqrt(chi)[..., :, None] * jnp.eye(
             d, dtype=psi_n.dtype
         )
-        L = jnp.linalg.cholesky(psi_n)
+        L = _cholesky(psi_n)  # batched-panel fast path (utils/linalg.py)
         eye = jnp.eye(d, dtype=psi_n.dtype)
         Li = solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
         # Sigma^{-1} = (Aᵀ L⁻¹)ᵀ (Aᵀ L⁻¹) = Minvᵀ Minv with M = L A⁻ᵀ the
