@@ -188,8 +188,11 @@ class NIW(base.Likelihood):
         d = hyper["mu0"].shape[-1]
         post = self.posterior_hyper(hyper, stats)  # symmetrized + jittered
         n = stats["n"]
-        logdet_psi = jnp.linalg.slogdet(hyper["psi"])[1]
-        logdet_psi_n = jnp.linalg.slogdet(post["psi"])[1]
+        # PD log-determinants via the batched-panel Cholesky (XLA's
+        # batched slogdet is an LU with the same batch-sequential cost
+        # profile the factorization had)
+        logdet_psi = _chol_logdet(_cholesky(hyper["psi"]))
+        logdet_psi_n = _chol_logdet(_cholesky(post["psi"]))
         return (
             -0.5 * n * d * jnp.log(jnp.pi)
             + multigammaln(post["nu"] / 2.0, d)

@@ -86,8 +86,9 @@ def _niw_problem(n=4, k_max=5, seed=0):
     return defn, data
 
 
-@pytest.mark.slow
 def test_collapsed_gibbs_bb_matches_enumeration():
+    # NOT slow-marked: the fast gate keeps one enumeration oracle per
+    # sampler (round-4; the remaining model variants stay in the slow tier)
     defn, data = _bb_problem()
     check(defn, data, {"alpha": 1.5}, ["assign"])
 
@@ -116,8 +117,8 @@ def test_collapsed_gibbs_mixed_features_matches_enumeration():
     check(defn, data, {"alpha": 1.0}, ["assign"])
 
 
-@pytest.mark.slow
 def test_neal8_m2_conjugate_matches_enumeration():
+    # NOT slow-marked: see test_collapsed_gibbs_bb_matches_enumeration
     """Neal-8 with m=2 aux groups must target the same posterior."""
     defn, data = _bb_problem(seed=5)
     check(defn, data, {"alpha": 1.5}, [("assign_resample", {"m": 2})])
