@@ -20,16 +20,20 @@ from common_tpu import models, state as st
 from common_tpu.kernels import blocked, gibbs, smc
 
 
-def _problem(n=1200, seed=0):
+def _problem(n=1200, seed=0, n_held=200):
     """Moderately separated 2-D Gaussians: non-trivial co-assignment
-    posterior (boundary rows genuinely ambiguous)."""
+    posterior (boundary rows genuinely ambiguous).  Also returns `n_held`
+    extra rows from the SAME mixture for held-out predictive checks."""
     r = np.random.default_rng(seed)
     centers = np.array([[-2.2, 0.0], [2.2, 0.0], [0.0, 2.8]])
-    zt = r.integers(0, 3, n)
-    X = (centers[zt] + r.normal(scale=1.0, size=(n, 2))).astype(np.float32)
+    zt = r.integers(0, 3, n + n_held)
+    X = (
+        centers[zt] + r.normal(scale=1.0, size=(n + n_held, 2))
+    ).astype(np.float32)
     defn = st.model_definition(n, [models.niw(2)], k_max=16)
-    data = ((jnp.asarray(X), jnp.ones(n)),)
-    return defn, data, zt
+    data = ((jnp.asarray(X[:n]), jnp.ones(n)),)
+    held = ((jnp.asarray(X[n:]), jnp.ones(n_held)),)
+    return defn, data, zt[:n], held
 
 
 def _mean_coassign(assignment_trace):
@@ -43,7 +47,7 @@ def _mean_coassign(assignment_trace):
 
 @pytest.mark.slow
 def test_collapsed_blocked_smc_agree_config1_scale():
-    defn, data, zt = _problem(n=600)
+    defn, data, zt, held = _problem(n=600)
     n = defn.n
     chp = {"alpha": 1.0}
     burn, keep = 80, 300
@@ -59,7 +63,7 @@ def test_collapsed_blocked_smc_agree_config1_scale():
 
         return jax.lax.scan(body, s, jax.random.split(key, burn + keep))
 
-    _, trace_c = collapsed_chain(s, jax.random.key(1))
+    s_c, trace_c = collapsed_chain(s, jax.random.key(1))
     co_c = _mean_coassign(np.asarray(trace_c)[burn:])
 
     # blocked truncated stick-breaking Gibbs
@@ -73,7 +77,7 @@ def test_collapsed_blocked_smc_agree_config1_scale():
 
         return jax.lax.scan(body, s, jax.random.split(key, burn + keep))
 
-    _, trace_b = blocked_chain(s, jax.random.key(3))
+    s_b, trace_b = blocked_chain(s, jax.random.key(3))
     co_b = _mean_coassign(np.asarray(trace_b)[burn:])
 
     # block-SMC: weighted co-assignment over final particles.
@@ -104,3 +108,24 @@ def test_collapsed_blocked_smc_agree_config1_scale():
     truth = zt[:, None] == zt[None, :]
     for co in (co_c, co_b, co_s):
         assert (((co > 0.5) == truth).mean()) > 0.89
+
+    # held-out predictive agreement — the BASELINE-named quality metric
+    # ("predictive log-likelihood within MC error"): mean log posterior-
+    # predictive density of 200 same-mixture rows must agree across the
+    # three independently-implemented samplers.  (Measured round 4: a
+    # single posterior state's mean heldout logp varies by <0.01 across
+    # chains at this scale, so 0.1 is ~10x the MC noise.)
+    lp_c = float(np.mean(np.asarray(st.heldout_logp(s_c, held))))
+    lp_b = float(np.mean(np.asarray(st.heldout_logp(s_b, held))))
+    # SMC: proper particle-cloud predictive, logsumexp over particles
+    from jax.scipy.special import logsumexp as _lse
+
+    lw = jnp.log(jnp.asarray(w + 1e-30))
+    lp_rows = jax.vmap(
+        lambda i: st.heldout_logp(
+            jax.tree_util.tree_map(lambda l: l[i], res.particles), held
+        )
+    )(jnp.arange(asg.shape[0]))                     # [P, H]
+    lp_s = float(jnp.mean(_lse(lw[:, None] + lp_rows, axis=0)))
+    assert abs(lp_c - lp_b) < 0.1, (lp_c, lp_b)
+    assert abs(lp_c - lp_s) < 0.1, (lp_c, lp_s)
