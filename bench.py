@@ -137,6 +137,7 @@ def _compact_summary(result):
             "n": m.get("n"), "d": m.get("d"),
             "particles": m.get("particles"),
             "rows_per_s": m.get("rows_per_s"), "logz": m.get("logz"),
+            "heldout_logp_dim": g(m, "predictive", "per_dim"),
         }
     for cfg in ("config2", "config3"):
         c = g(result, "configs", cfg)
@@ -282,17 +283,22 @@ def _capped_ess(trace, n_samples):
 
     Traces shorter than 20 samples return None: the estimator carries no
     information there and the capped value just parrots the sweep count
-    (round-3 weak item 6)."""
+    (round-3 weak item 6).  The first 20% of the trace is discarded as
+    burn-in before estimating (standard practice: the convergence
+    transient otherwise reads as autocorrelation and deflates ESS);
+    callers divide by the FULL run time, so ess_per_s stays conservative.
+    """
     import numpy as np
 
     from common_tpu.utils import diagnostics
 
     if n_samples < 20:
         return None
-    e = float(diagnostics.ess(trace - trace.mean()))
+    kept = trace[int(0.2 * len(trace)):]
+    e = float(diagnostics.ess(kept - kept.mean()))
     if not np.isfinite(e):
         return None
-    return min(e, float(n_samples))
+    return min(e, float(len(kept)))
 
 
 def run_tier(n, d, k_max, sweeps, key, kernel="blocked", heldout=0):
@@ -837,7 +843,9 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
         "psi": jnp.eye(d, dtype=jnp.float32),
         "nu": float(d + 2),
     }
-    x = make_data_device(jax.random.fold_in(key, 0), n, d)
+    h = 2048  # held-out rows from the SAME mixture (one datagen + split)
+    x_all = make_data_device(jax.random.fold_in(key, 0), n + h, d)
+    x, xh = x_all[:n], x_all[n:]
     data = ((x, jnp.ones(n, jnp.float32)),)
     parts = smc.init_particles(
         defn, data, jax.random.fold_in(key, 1), n_particles,
@@ -862,6 +870,36 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
     dt = time.perf_counter() - t0
 
     rows_per_s = n / dt
+
+    # particle-cloud held-out predictive (BASELINE quality metric):
+    # logsumexp over weighted particles of per-row predictive logp on
+    # the 2048 same-mixture rows split off above (outside the timed
+    # region)
+    predictive = None
+    try:
+        from jax.scipy.special import logsumexp as _lse
+
+        @jax.jit
+        def cloud_lp(parts_out, log_w, xh):
+            held_ = ((xh, jnp.ones(h, jnp.float32)),)
+            lw = jax.nn.log_softmax(log_w)
+            n_p2 = log_w.shape[0]
+            lp = jax.vmap(
+                lambda i: st.heldout_logp(
+                    jax.tree_util.tree_map(lambda l: l[i], parts_out),
+                    held_,
+                )
+            )(jnp.arange(n_p2))                     # [P, h]
+            return jnp.mean(_lse(lw[:, None] + lp, axis=0))
+
+        mean_lp = float(_fetch(cloud_lp(res.particles, res.log_w, xh)))
+        predictive = {
+            "heldout_rows": h,
+            "mean_logp": round(mean_lp, 4),
+            "per_dim": round(mean_lp / d, 5),
+        }
+    except Exception as e:
+        predictive = {"error": repr(e)}
     return {
         "mode": "block-smc",
         "n": n,
@@ -877,6 +915,7 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
         "logz": logz,
         "n_resamples": int(_fetch(res.n_resamples)),
         "extrapolated_1m_rows_s": round(1e6 / rows_per_s, 1),
+        "predictive": predictive,
     }
 
 
