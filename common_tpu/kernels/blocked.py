@@ -184,11 +184,15 @@ def _chain_score_table(mu, prec, logdet, logw, x):
     return logp.reshape(-1, C, K)
 
 
+_FALLBACK_WARNED = False
+
+
 def sweep_chains(states: MixtureState, data, key,
                  d_max_xx: int = 64, fused: bool = False,
                  tile_n: int = 1024, k_tile: int = 8,
                  interpret: bool = False,
-                 assume_dense_mask: bool = False) -> MixtureState:
+                 assume_dense_mask: bool = False,
+                 xx_budget_bytes: float = 2e9) -> MixtureState:
     """One blocked sweep of C stacked chains sharing one dataset.
 
     `states`: a chain-stacked MixtureState (leading axis C on every leaf,
@@ -201,9 +205,19 @@ def sweep_chains(states: MixtureState, data, key,
     instead of C separate tiny-matmul scans, which is what restores
     near-linear on-chip chain scaling (round-3 VERDICT item 2).
 
-    Requirements: a single `niw` feature and D² features affordable
-    (D <= d_max_xx); anything else falls back to a vmapped `sweep`
-    (correct, but without the wide-matmul scaling fix).
+    Requirements: a single `niw` feature, and — for the wide-matmul
+    (non-fused) path — D² row features affordable: D <= d_max_xx AND
+    N·D²·4 bytes <= xx_budget_bytes (the [N, D²] outer-product feature
+    matrix is materialized for scoring; at D=64 it costs 16 KB/row — 16 GB
+    at 1M rows, an HBM OOM the vmapped fallback would not hit).  Anything
+    else falls back to a vmapped `sweep` (correct, but without the
+    wide-matmul scaling fix) with a one-time warning, since the fallback
+    silently drops `fused` and the tuning kwargs.
+
+    fused=True (Pallas multi-chain kernel) has NO D <= d_max_xx limit —
+    the kernel streams X and never builds [N, D²]; at D=256 (the headline
+    shape) it is the ONLY multi-chain fast path.  Its restat switches to
+    per-chain scan matmuls when [N, D²] is over budget.
 
     fused=True routes score+Gumbel+per-chain-argmax through the Pallas
     multi-chain kernel (ops/gaussian_assign.fused_gaussian_assign_chains)
@@ -215,8 +229,28 @@ def sweep_chains(states: MixtureState, data, key,
     the Pallas interpreter for CPU tests (its PRNG is stubbed — sampler
     DISTRIBUTION is only meaningful on a real TPU).
     """
+    global _FALLBACK_WARNED
     C = states.counts.shape[0]
-    if states.lik_names != ("niw",) or data[0][0].shape[-1] > d_max_xx:
+    if states.lik_names == ("niw",):
+        _n, _d = data[0][0].shape[-2], data[0][0].shape[-1]
+        xx_bytes = 4.0 * _n * _d * _d
+        wide_ok = fused or (_d <= d_max_xx and xx_bytes <= xx_budget_bytes)
+    else:
+        _d, xx_bytes, wide_ok = None, 0.0, False
+    if not wide_ok:
+        if not _FALLBACK_WARNED:
+            import warnings
+
+            warnings.warn(
+                f"sweep_chains: falling back to vmapped per-chain sweeps "
+                f"(lik={states.lik_names}, D={_d}, [N,D²] "
+                f"{xx_bytes/1e9:.1f} GB vs budget "
+                f"{xx_budget_bytes/1e9:.1f} GB); `fused` and tuning "
+                f"kwargs are ignored on this path. Pass fused=True for "
+                f"the Pallas multi-chain kernel (no D limit).",
+                stacklevel=2,
+            )
+            _FALLBACK_WARNED = True
         return jax.vmap(lambda s, k: sweep(s, data, k))(
             states, jax.random.split(key, C)
         )
@@ -280,19 +314,33 @@ def sweep_chains(states: MixtureState, data, key,
         ).astype(jnp.int32)
         z = jnp.where(m[:, None] > 0, z, z_prior)
 
-    # restat: all C chains in two wide matmuls against shared (X, XX)
-    onehot = (z[:, :, None] == jnp.arange(K)[None, None, :]).astype(x.dtype)
-    counts = jnp.sum(onehot, axis=0).astype(jnp.int32)        # [C, K]
-    w = (onehot * m[:, None, None]).reshape(N, C * K)
-    n_stat = jnp.sum(w, axis=0).reshape(C, K)
-    sum_x = jnp.matmul(w.T, x, precision="float32").reshape(C, K, D)
-    xx = jnp.einsum("nd,ne->nde", x, x).reshape(N, D * D)
-    # default precision: statistically benign here (see the numerics note
-    # in likelihoods/niw.py stats_from_assignments — no cancellation in a
-    # nonnegative-weighted sum)
-    sum_xxT = jnp.matmul(w.T, xx).reshape(C, K, D, D)
-    sum_xxT = 0.5 * (sum_xxT + jnp.swapaxes(sum_xxT, -1, -2))
-    stats = {"n": n_stat, "sum_x": sum_x, "sum_xxT": sum_xxT}
+    if xx_bytes <= xx_budget_bytes:
+        # restat: all C chains in two wide matmuls against shared (X, XX)
+        onehot = (z[:, :, None] == jnp.arange(K)[None, None, :]).astype(
+            x.dtype
+        )
+        counts = jnp.sum(onehot, axis=0).astype(jnp.int32)    # [C, K]
+        w = (onehot * m[:, None, None]).reshape(N, C * K)
+        n_stat = jnp.sum(w, axis=0).reshape(C, K)
+        sum_x = jnp.matmul(w.T, x, precision="float32").reshape(C, K, D)
+        xx = jnp.einsum("nd,ne->nde", x, x).reshape(N, D * D)
+        # default precision: statistically benign here (see the numerics
+        # note in likelihoods/niw.py stats_from_assignments — no
+        # cancellation in a nonnegative-weighted sum)
+        sum_xxT = jnp.matmul(w.T, xx).reshape(C, K, D, D)
+        sum_xxT = 0.5 * (sum_xxT + jnp.swapaxes(sum_xxT, -1, -2))
+        stats = {"n": n_stat, "sum_x": sum_x, "sum_xxT": sum_xxT}
+    else:
+        # big-D restat (fused path at the 1M×256 headline): per-chain
+        # scan-matmul suffstats — never materializes [N, D²]
+        stats = jax.vmap(
+            lambda h, zc: lik.stats_from_assignments(h, x, mask, zc, K)
+        )(states.hypers[0], z.T)
+        counts = jax.vmap(
+            lambda zc: jax.ops.segment_sum(
+                jnp.ones_like(zc), zc, num_segments=K
+            )
+        )(z.T).astype(jnp.int32)
     return dataclasses.replace(
         states, assignments=z.T, counts=counts, stats=(stats,)
     )

@@ -193,7 +193,7 @@ class NIW(base.Likelihood):
         # profile the factorization had)
         logdet_psi = _chol_logdet(_cholesky(hyper["psi"]))
         logdet_psi_n = _chol_logdet(_cholesky(post["psi"]))
-        return (
+        ml = (
             -0.5 * n * d * jnp.log(jnp.pi)
             + multigammaln(post["nu"] / 2.0, d)
             - multigammaln(hyper["nu"] / 2.0, d)
@@ -201,6 +201,12 @@ class NIW(base.Likelihood):
             - 0.5 * post["nu"] * logdet_psi_n
             + 0.5 * d * (jnp.log(hyper["kappa"]) - jnp.log(post["kappa"]))
         )
+        # Empty-slot exact-zero invariant (CLAUDE.md): the two log-dets
+        # above may take DIFFERENT dispatch paths in utils.linalg._cholesky
+        # (unbatched prior psi vs batched [K,D,D] posterior psi), so their
+        # rounding no longer cancels bitwise at n=0.  Hard-gate: a slot
+        # with no data has marginal likelihood exactly 1.
+        return jnp.where(n > 0, ml, 0.0)
 
     def pred_logpdf(self, hyper, stats, x):
         """Student-t posterior predictive, batched over stats' cluster axis."""

@@ -31,6 +31,17 @@ res = smc.run_blocked(parts, data, jax.random.key(1), block=512)
 print(f"log evidence estimate: {float(res.logz):.1f}")
 print(f"resampling events:     {int(res.n_resamples)}")
 
+# sanity: log Z >= log p(z, data) for ANY z (Gibbs joint-score bound) —
+# the invariant the round-4 estimator violated at scale
+from common_tpu.kernels import blocked
+
+s_g = st.initialize(defn, data, jax.random.key(9), cluster_hp={"alpha": 1.0})
+for i in range(30):
+    s_g = blocked.sweep(s_g, data, jax.random.key(20 + i))
+bound = float(st.score_joint(s_g))
+ok = "OK" if float(res.logz) >= bound else "VIOLATED"
+print(f"gibbs joint lower bound: {bound:.1f}  [{ok}]")
+
 # one posterior partition sample ~ final particle weights
 s = smc.posterior_sample(jax.random.key(2), res)
 z = np.asarray(s.assignments)

@@ -366,9 +366,13 @@ def test_chains_interpret_dominance_and_mapping():
     assert z2.min() >= 0 and z2.max() < K
 
 
-def test_sweep_chains_fused_interpret_invariants():
+@pytest.mark.parametrize("xx_budget", [2e9, 1.0])
+def test_sweep_chains_fused_interpret_invariants(xx_budget):
     """sweep_chains(fused=True) through the interpreter: counts match
-    assignments per chain and suffstats match stats_from_assignments."""
+    assignments per chain and suffstats match stats_from_assignments.
+
+    xx_budget=1.0 forces the big-D restat branch (per-chain scan matmuls,
+    no [N, D²] features) — the path the 1M×256 multi-chain tier takes."""
     r = np.random.default_rng(1)
     n, d, K, C = 1200, 4, 8, 2
     X = jnp.asarray(r.normal(size=(n, d)), jnp.float32)
@@ -381,7 +385,7 @@ def test_sweep_chains_fused_interpret_invariants():
     with pltpu.force_tpu_interpret_mode():
         out = blocked.sweep_chains(
             states, data, jax.random.key(3), fused=True,
-            assume_dense_mask=True,
+            assume_dense_mask=True, xx_budget_bytes=xx_budget,
         )
     z = np.asarray(out.assignments)
     for c in range(C):
