@@ -98,6 +98,12 @@ def _k_nuts_theta(state, data, key, **kw):
     return hmc.theta(state, key, **kw)
 
 
+def _k_split_merge(state, data, key, **kw):
+    from common_tpu.kernels import splitmerge
+
+    return splitmerge.moves(state, data, key, **kw)
+
+
 KERNELS: Dict[str, Callable] = {
     "assign": _k_assign,
     "assign_resample": _k_assign_resample,
@@ -113,6 +119,7 @@ KERNELS: Dict[str, Callable] = {
     "nuts_hp": _k_nuts_hp,
     "nuts_cluster_hp": _k_nuts_cluster_hp,
     "nuts_theta": _k_nuts_theta,
+    "split_merge": _k_split_merge,
 }
 
 

@@ -147,6 +147,7 @@ def test_scaling_efficiency_harness(cpu_devices):
     assert res["shard_counts"] == [1, 2, 4]
     assert all(v > 0 for v in res["throughput"].values()), res
     assert 0 < res["efficiency"] < 100, res
+    assert res["collectives_ok"] is True, res
     assert res["n"] % 4 == 0
 
 
