@@ -1475,21 +1475,36 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
-    # 8. split-merge A/B arm (VERDICT r04 next #6): same shape as the
-    # main ESS tier, the sweep + Jain-Neal split-merge kernel — does
-    # attacking τ directly beat the plain sweep on ESS/s?  Deliberately
-    # LAST among the big tiers so it can never starve the required
-    # matrix (the round-4 failure mode).
-    if (not args.smoke and result.get("ess_tier") is not None
+    # 8. split-merge A/B arm (VERDICT r04 next #6): sweep + Jain-Neal
+    # split-merge vs plain sweep on ESS/s.  Deliberately LAST among the
+    # big tiers so it can never starve the required matrix (the round-4
+    # failure mode).  SAFETY: at the 1M x 256 headline the fused+sm
+    # program KILLED the axon worker ("TPU worker process crashed or
+    # restarted ... kernel fault", round-5 incident — BENCH_NOTES); the
+    # arm therefore runs at the secondary ESS shape by default and the
+    # headline shape only with BENCH_SM_AB_HEADLINE=1.
+    if (not args.smoke and os.environ.get("BENCH_SM_AB", "1") == "1"
+            and result.get("ess_tier") is not None
             and remaining() > 170.0):
         try:
             et0 = result["ess_tier"]
+            if os.environ.get("BENCH_SM_AB_HEADLINE", "") == "1":
+                ab_shape = (top["n"], top["d"], top["k_max"])
+            else:
+                ab_shape = (100_000, 64, 32)
             sm = run_ess_tier(
-                top["n"], top["d"], top["k_max"], jax.random.key(8),
+                *ab_shape, jax.random.key(8),
                 sweeps=et0["sweeps"], n_seeds=2,
                 kernel="fused+sm", heldout=0,
             )
-            sm["ab_plain_ess_per_s"] = et0["ess_per_s"]
+            # the plain arm at the SAME shape for a like-for-like ratio
+            pl = run_ess_tier(
+                *ab_shape, jax.random.key(8),
+                sweeps=et0["sweeps"], n_seeds=2,
+                kernel="fused", heldout=0,
+            )
+            sm["ab_plain_ess_per_s"] = pl["ess_per_s"]
+            sm["ab_plain_spread"] = pl["ess_per_s_spread"]
             result["ess_tier_sm"] = sm
             _emit(fp, {"event": "tier", "tier": sm})
             _emit(fp, {"event": "result", "result": result})
