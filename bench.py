@@ -987,7 +987,7 @@ def run_hdp_tier(n_docs, doc_len, k_topics, vocab, sweeps, key,
 
 
 def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
-                 warm_run=True):
+                 warm_run=True, warmup=512):
     """Config-5: block-SMC rows/s at scale (O(N/B) device steps).
 
     Uses kernels/smc.py's blocked variant: a row-sequential warmup then
@@ -1027,7 +1027,8 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
 
     t0 = time.perf_counter()
     compiled = smc.run_blocked.lower(
-        parts, data, jax.random.fold_in(key, 2), block=block
+        parts, data, jax.random.fold_in(key, 2), block=block,
+        warmup=warmup,
     ).compile()
     compile_s = time.perf_counter() - t0
 
@@ -1098,6 +1099,7 @@ def run_smc_tier(n, d, k_max, n_particles, key, block=4096,
         "k_max": k_max,
         "particles": n_particles,
         "block": block,
+        "warmup_rows": warmup,
         "rows_per_s": round(rows_per_s, 1),
         "run_s": round(dt, 3),
         "compile_s": round(compile_s, 1),
@@ -1399,17 +1401,75 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "ess", "err": repr(e)})
 
-    # 3. block-SMC (config 5) AT ITS STATED SHAPE: 1M x 256 (round-3
+    # 3. HDP config-4 tier (1M docs / 50M tokens; dense sweep costs
+    # ~90 s post-warmup: gen ~20 + compile ~32 + 2x3 sweeps ~8), now with
+    # held-out-token perplexity
+    if (not args.smoke and os.environ.get("BENCH_SKIP_HDP", "") != "1"
+            and remaining() > 150.0):
+        try:
+            hdp = run_hdp_tier(1_000_000, 50, 32, 10_000, 3,
+                               jax.random.key(6))
+            result["hdp"] = hdp
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "hdp", "err": repr(e)})
+
+    # 4. on-chip chain scaling — promoted above the config tiers in
+    # round 4: it showcases the sweep_chains rebuild (VERDICT r3 item 2)
+    # and the round-3 rehearsal starved it (87 s left at child finish)
+    if not args.smoke and remaining() > 90.0:
+        try:
+            result["chains_on_chip"] = run_chain_scaling_tier(
+                jax.random.key(11)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
+
+    # 5./6. configs 2-3 at their stated scale (config 2 now also times
+    # the fused bbv kernel and scores held-out rows)
+    if not args.smoke and remaining() > 75.0:
+        try:
+            # fused gate relaxed 450 -> 180 s: the 255 s fused-bbv axon
+            # compile is pre-warmed into the persistent compilation
+            # cache (rehearsed), so the variant costs ~25 s warm
+            result["configs"]["config2"] = run_config2_tier(
+                jax.random.key(21), fused=remaining() > 180.0
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
+
+    if not args.smoke and remaining() > 150.0:
+        try:
+            result["configs"]["config3"] = run_config3_tier(
+                jax.random.key(22)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
+
+    # 7. block-SMC (config 5) AT ITS STATED SHAPE: 1M x 256 (round-3
     # VERDICT item 1b — never fall back to smaller d; smaller P is the
     # sanctioned retreat).  Cold-timed (AOT compile + one timed run)
     # unless the window is generous.
+    # DEMOTED BELOW hdp/chains/configs in round 5: a TPU worker crash
+    # poisons the child process's backend, and the round-5 rehearsal saw
+    # the 1M×256 SMC program kill the worker and take every downstream
+    # tier with it (BENCH_NOTES round-5 incidents) — risky programs run
+    # after the tiers that have never crashed.
     if (os.environ.get("BENCH_SKIP_SMC", "") != "1" and not args.smoke
-            and remaining() > 240.0):
+            and remaining() > 110.0):
+        # warmup=128 bisected on the real chip: 512 warmup rows crash
+        # the worker at 1M×256 (scan-length/program-size limit), 0 and
+        # 128 run clean, and 128's logz (−3.673e8) clears the Gibbs
+        # joint bound (≈ −3.77e8) with margin — BENCH_NOTES round 5
+        smc_warmup = int(os.environ.get("BENCH_SMC_WARMUP", "128"))
         for n_p, blk in ((16, 8192), (8, 8192)):
             try:
                 result["smc"] = run_smc_tier(
                     1_000_000, 256, 64, n_p, jax.random.key(5), block=blk,
-                    warm_run=remaining() > 500.0,
+                    warm_run=remaining() > 500.0, warmup=smc_warmup,
                 )
                 _emit(fp, {"event": "result", "result": result})
                 break
@@ -1427,54 +1487,6 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "smc", "err": repr(e)})
 
-    # 4. HDP config-4 tier (1M docs / 50M tokens; dense sweep costs
-    # ~90 s post-warmup: gen ~20 + compile ~32 + 2x3 sweeps ~8), now with
-    # held-out-token perplexity
-    if (not args.smoke and os.environ.get("BENCH_SKIP_HDP", "") != "1"
-            and remaining() > 150.0):
-        try:
-            hdp = run_hdp_tier(1_000_000, 50, 32, 10_000, 3,
-                               jax.random.key(6))
-            result["hdp"] = hdp
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "hdp", "err": repr(e)})
-
-    # 5. on-chip chain scaling — promoted above the config tiers in
-    # round 4: it showcases the sweep_chains rebuild (VERDICT r3 item 2)
-    # and the round-3 rehearsal starved it (87 s left at child finish)
-    if not args.smoke and remaining() > 90.0:
-        try:
-            result["chains_on_chip"] = run_chain_scaling_tier(
-                jax.random.key(11)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
-
-    # 6./7. configs 2-3 at their stated scale (config 2 now also times
-    # the fused bbv kernel and scores held-out rows)
-    if not args.smoke and remaining() > 75.0:
-        try:
-            # fused gate relaxed 450 -> 300 s: the 255 s fused-bbv axon
-            # compile is a one-time cost now that the persistent
-            # compilation cache covers the official run
-            result["configs"]["config2"] = run_config2_tier(
-                jax.random.key(21), fused=remaining() > 300.0
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
-
-    if not args.smoke and remaining() > 150.0:
-        try:
-            result["configs"]["config3"] = run_config3_tier(
-                jax.random.key(22)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
-
     # 8. split-merge A/B arm (VERDICT r04 next #6): sweep + Jain-Neal
     # split-merge vs plain sweep on ESS/s.  Deliberately LAST among the
     # big tiers so it can never starve the required matrix (the round-4
@@ -1485,22 +1497,21 @@ def child_main(args):
     # headline shape only with BENCH_SM_AB_HEADLINE=1.
     if (not args.smoke and os.environ.get("BENCH_SM_AB", "1") == "1"
             and result.get("ess_tier") is not None
-            and remaining() > 170.0):
+            and remaining() > 100.0):
         try:
-            et0 = result["ess_tier"]
             if os.environ.get("BENCH_SM_AB_HEADLINE", "") == "1":
                 ab_shape = (top["n"], top["d"], top["k_max"])
             else:
                 ab_shape = (100_000, 64, 32)
             sm = run_ess_tier(
                 *ab_shape, jax.random.key(8),
-                sweeps=et0["sweeps"], n_seeds=2,
+                sweeps=150, n_seeds=2,
                 kernel="fused+sm", heldout=0,
             )
             # the plain arm at the SAME shape for a like-for-like ratio
             pl = run_ess_tier(
                 *ab_shape, jax.random.key(8),
-                sweeps=et0["sweeps"], n_seeds=2,
+                sweeps=150, n_seeds=2,
                 kernel="fused", heldout=0,
             )
             sm["ab_plain_ess_per_s"] = pl["ess_per_s"]
