@@ -245,3 +245,29 @@ def test_headline_survives_tail_truncation():
     assert '"summary"' in tail and '"rows_per_s"' in tail
     # the parsed dict's final keys are the headline, in order
     assert list(out.keys())[-2:] == ["value", "metric"]
+
+
+def test_chains_headline_tier_structure_cpu():
+    """run_chains_headline_tier at a toy shape on CPU.
+
+    d=72 > d_max_xx forces the same vmapped per-chain dispatch inside
+    `sweep_chains` that the 1M x 256 headline shape takes (the measured
+    winner there - BENCH_NOTES round 5), so the production code path of
+    the official tier is what runs here.
+    """
+    sys.path.insert(0, REPO)
+    import bench
+    import jax
+
+    out = bench.run_chains_headline_tier(
+        jax.random.key(0), 256, 72, 4, chain_counts=(2,), sweeps=2,
+        repeats=1,
+    )
+    info = out["chains"]["2"]
+    assert info["aggregate_chain_sweeps_per_s"] > 0
+    assert len(info["k_active_per_chain"]) == 2
+    assert all(1 <= k <= 4 for k in info["k_active_per_chain"])
+    # both fields are independently rounded to 3 decimals
+    assert info["per_chain_sweeps_per_s"] == pytest.approx(
+        info["aggregate_chain_sweeps_per_s"] / 2, abs=2e-3
+    )
