@@ -126,6 +126,10 @@ def _compact_summary(result):
             "spread": t.get("ess_per_s_spread"),
             "kernel": t.get("kernel"),
         }
+        if t.get("stalled_seeds"):
+            s["ess"]["stalled_seeds"] = t["stalled_seeds"]
+        if t.get("seeds_truncated"):
+            s["ess"]["seeds_truncated"] = True
     if result.get("predictive"):
         s["predictive"] = result["predictive"]
     if result.get("hdp"):
@@ -420,8 +424,27 @@ def run_tier(n, d, k_max, sweeps, key, kernel="blocked", heldout=0):
     }
 
 
+def _mark_stalled_seeds(seeds_out):
+    """Mark tunnel-stalled seeds in place; return the kept (clean) ones.
+
+    Wall time wildly above the fastest seed's for the SAME compiled
+    program is an axon tunnel/worker stall, not sampler behavior
+    (round-5 incident: 558 s vs ~54 s for an identical 300-sweep scan).
+    Thresholds: > 3x the fastest AND > 60 s over it, so ordinary ~30%
+    tunnel jitter and small-shape noise never trigger it.
+    """
+    best_rs = min(so["run_s"] for so in seeds_out) if seeds_out else None
+    for so in seeds_out:
+        so["stalled"] = bool(
+            best_rs is not None
+            and so["run_s"] > 3.0 * best_rs
+            and so["run_s"] - best_rs > 60.0
+        )
+    return [so for so in seeds_out if not so["stalled"]]
+
+
 def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
-                 kernel="fused", heldout=4096):
+                 kernel="fused", heldout=4096, deadline=None):
     """North-star ESS/s with quantified uncertainty (VERDICT r04 next #2).
 
     n_seeds independent chains (fresh data + init per seed), each a
@@ -431,7 +454,18 @@ def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
     divided by that seed's full wall time.  Published: mean ± spread of
     ess_per_s over seeds.  Round 4's headline rested on ONE 100-sweep
     trace whose own ESS was ~4 (O(100%) estimator variance; a same-shape
-    rehearsal read 4× apart)."""
+    rehearsal read 4× apart).
+
+    Tunnel-stall robustness (round-5 incident: one seed of three took
+    558 s wall for a program the other two ran in ~54 s — a ~500 s axon
+    worker stall mid-execution, which both dragged the published mean
+    4× low and starved every downstream tier): (a) a seed whose wall
+    time is > 3× the fastest seed's (and > 60 s over it) is marked
+    `stalled` and excluded from the published mean/spread — its raw
+    numbers stay in `seeds` for audit; (b) if `deadline` (a
+    time.monotonic() value) passes, remaining seeds are skipped and
+    `seeds_truncated` records it, so one stall cannot eat the whole
+    extras window."""
     import jax
     import numpy as np
 
@@ -449,7 +483,11 @@ def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
 
     seeds_out = []
     s_out = None
+    seeds_truncated = False
     for i in range(n_seeds):
+        if deadline is not None and i > 0 and time.monotonic() > deadline:
+            seeds_truncated = True
+            break
         ki = jax.random.fold_in(key, 100 + i)
         if i > 0:
             x, xh, s = setup(ki)
@@ -487,7 +525,8 @@ def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
             "score_final": float(trace[-1, 0]),
         })
 
-    vals = [so["ess_per_s"] for so in seeds_out
+    kept = _mark_stalled_seeds(seeds_out)
+    vals = [so["ess_per_s"] for so in kept
             if so["ess_per_s"] is not None]
     ess_per_s = round(float(np.mean(vals)), 4) if vals else None
     spread = (round(float(max(vals) - min(vals)), 4)
@@ -513,7 +552,8 @@ def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
             "per_dim": round(mean_lp / d, 5),
         }
 
-    mean_dt = float(np.mean([so["run_s"] for so in seeds_out]))
+    anchor = kept if kept else seeds_out
+    mean_dt = float(np.mean([so["run_s"] for so in anchor]))
     return {
         "n": n, "d": d, "k_max": k_max, "kernel": kernel,
         "sweeps": sweeps, "n_seeds": n_seeds,
@@ -521,11 +561,13 @@ def run_ess_tier(n, d, k_max, key, sweeps=300, n_seeds=2,
         "compile_s": round(compile_s, 1),
         "setup_s": round(setup_s, 1),
         "seeds": seeds_out,
+        "stalled_seeds": sum(so["stalled"] for so in seeds_out),
+        "seeds_truncated": seeds_truncated,
         "ess_per_s": ess_per_s,
         "ess_per_s_spread": spread,
-        "ess_est": seeds_out[-1]["ess_min"] if seeds_out else None,
-        "k_active": seeds_out[-1]["k_active"] if seeds_out else None,
-        "score_final": seeds_out[-1]["score_final"] if seeds_out else None,
+        "ess_est": anchor[-1]["ess_min"] if anchor else None,
+        "k_active": anchor[-1]["k_active"] if anchor else None,
+        "score_final": anchor[-1]["score_final"] if anchor else None,
         "predictive": predictive,
     }
 
@@ -1482,6 +1524,7 @@ def child_main(args):
                 top["n"], top["d"], top["k_max"], jax.random.key(7),
                 sweeps=sweeps_e, n_seeds=n_seeds,
                 kernel="fused" if fused_ok else "blocked", heldout=4096,
+                deadline=time.monotonic() + budget,
             )
             result["ess_tier"] = et
             result["ess_per_s"] = et["ess_per_s"]
@@ -1620,12 +1663,14 @@ def child_main(args):
                 *ab_shape, jax.random.key(8),
                 sweeps=150, n_seeds=2,
                 kernel="fused+sm", heldout=0,
+                deadline=time.monotonic() + 0.5 * remaining(),
             )
             # the plain arm at the SAME shape for a like-for-like ratio
             pl = run_ess_tier(
                 *ab_shape, jax.random.key(8),
                 sweeps=150, n_seeds=2,
                 kernel="fused", heldout=0,
+                deadline=time.monotonic() + 0.8 * remaining(),
             )
             sm["ab_plain_ess_per_s"] = pl["ess_per_s"]
             sm["ab_plain_spread"] = pl["ess_per_s_spread"]

@@ -271,3 +271,25 @@ def test_chains_headline_tier_structure_cpu():
     assert info["per_chain_sweeps_per_s"] == pytest.approx(
         info["aggregate_chain_sweeps_per_s"] / 2, abs=2e-3
     )
+
+
+def test_stalled_seed_exclusion():
+    """A tunnel-stalled seed (558 s vs ~54 s, round-5 incident) must be
+    excluded from the kept set; ordinary ~30% jitter must not be."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    seeds = [{"run_s": 54.5}, {"run_s": 52.7}, {"run_s": 558.0}]
+    kept = bench._mark_stalled_seeds(seeds)
+    assert [s["stalled"] for s in seeds] == [False, False, True]
+    assert len(kept) == 2
+
+    # 30% jitter: all kept
+    seeds = [{"run_s": 50.0}, {"run_s": 65.0}]
+    assert len(bench._mark_stalled_seeds(seeds)) == 2
+
+    # small shapes: 3x but tiny absolute delta -> kept
+    seeds = [{"run_s": 0.5}, {"run_s": 2.0}]
+    assert len(bench._mark_stalled_seeds(seeds)) == 2
+
+    assert bench._mark_stalled_seeds([]) == []
