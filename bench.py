@@ -1514,7 +1514,12 @@ def child_main(args):
         try:
             rate = max(top["sweeps_per_s"], 0.1)
             budget = 0.6 * remaining()
-            if 3 * 300 / rate + 60.0 < budget:
+            # 2 seeds x 300 sweeps is the default protocol (spread is
+            # still quantified); the third seed costs ~75 s that a
+            # ~670 s warm extras window needs for config3 + SMC (reh-3:
+            # 3-seed ESS + fused-bbv left 43 s and shed both) — take it
+            # only when the window is genuinely generous
+            if 3 * 300 / rate + 420.0 < budget:
                 n_seeds, sweeps_e = 3, 300
             elif 2 * 300 / rate + 60.0 < budget:
                 n_seeds, sweeps_e = 2, 300
@@ -1561,35 +1566,18 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "chains", "err": repr(e)})
 
-    # 5./6. configs 2-3 at their stated scale (config 2 now also times
-    # the fused bbv kernel and scores held-out rows)
-    if not args.smoke and remaining() > 75.0:
-        try:
-            # fused gate relaxed 450 -> 180 s: the 255 s fused-bbv axon
-            # compile is pre-warmed into the persistent compilation
-            # cache (rehearsed), so the variant costs ~25 s warm
-            result["configs"]["config2"] = run_config2_tier(
-                jax.random.key(21), fused=remaining() > 180.0
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
-
-    if not args.smoke and remaining() > 150.0:
-        try:
-            result["configs"]["config3"] = run_config3_tier(
-                jax.random.key(22)
-            )
-            _emit(fp, {"event": "result", "result": result})
-        except Exception as e:
-            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
-
-    # 6b. multi-chain AT THE HEADLINE SHAPE (VERDICT r04 next #5): C=4
-    # vmapped chains measured +8% aggregate over the best single chain
-    # in round-5 builder runs — this puts the number in the official
-    # record.  Cheap when warm (~15 s); the gate leaves the SMC tier its
-    # full 110 s window.
-    if not args.smoke and remaining() > 190.0:
+    # 4b. multi-chain AT THE HEADLINE SHAPE (VERDICT r04 next #5) —
+    # OPT-IN ONLY (BENCH_CHAINS_HEADLINE=1): the C=4 vmapped-sweep
+    # program at 1M x 256 is not reliably compilable through the axon
+    # remote-compile service (round-5 continuation: the compile burned
+    # 40 min of a rehearsal's window and then died with "remote_compile:
+    # Broken pipe"; the prior builder session DID get it through and
+    # measured 5.97 aggregate chain-sweeps/s — BENCH_NOTES round 5).
+    # The measured multi-chain numbers therefore live in BENCH_NOTES as
+    # builder evidence rather than risking the official tier matrix.
+    if (not args.smoke
+            and os.environ.get("BENCH_CHAINS_HEADLINE", "") == "1"
+            and remaining() > 190.0):
         try:
             ch = run_chains_headline_tier(
                 jax.random.key(13), top["n"], top["d"], top["k_max"]
@@ -1604,6 +1592,29 @@ def child_main(args):
         except Exception as e:
             _emit(fp, {"event": "error", "stage": "chains-headline",
                        "err": repr(e)})
+
+    # 5./6. configs 2-3 at their stated scale (config 2 now also times
+    # the fused bbv kernel and scores held-out rows)
+    if not args.smoke and remaining() > 75.0:
+        try:
+            # fused variant (~110 s warm incl. its tier) only when it
+            # cannot squeeze the SMC window out (reh-3: fused at
+            # remaining=380 left SMC and config3 without their gates)
+            result["configs"]["config2"] = run_config2_tier(
+                jax.random.key(21), fused=remaining() > 300.0
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "config2", "err": repr(e)})
+
+    if not args.smoke and remaining() > 150.0:
+        try:
+            result["configs"]["config3"] = run_config3_tier(
+                jax.random.key(22)
+            )
+            _emit(fp, {"event": "result", "result": result})
+        except Exception as e:
+            _emit(fp, {"event": "error", "stage": "config3", "err": repr(e)})
 
     # 7. block-SMC (config 5) AT ITS STATED SHAPE: 1M x 256 (round-3
     # VERDICT item 1b — never fall back to smaller d; smaller P is the
