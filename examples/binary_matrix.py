@@ -9,6 +9,13 @@ coordinate-wise each sweep.
 Run: python examples/binary_matrix.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # run from a bare checkout: python examples/<name>.py
+
 import numpy as np
 import jax
 import jax.numpy as jnp

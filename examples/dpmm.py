@@ -3,6 +3,13 @@
 Run: python examples/dpmm.py   (~1 min on CPU; faster on TPU)
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # run from a bare checkout: python examples/<name>.py
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,13 @@
 Run: python examples/lda_topics.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # run from a bare checkout: python examples/<name>.py
+
 import numpy as np
 import jax
 

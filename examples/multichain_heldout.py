@@ -10,6 +10,13 @@ mean posterior-predictive log-likelihood of held-out rows
 Run: python examples/multichain_heldout.py   (~1 min on CPU)
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # run from a bare checkout: python examples/<name>.py
+
 import numpy as np
 import jax
 import jax.numpy as jnp

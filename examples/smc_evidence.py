@@ -7,6 +7,13 @@ weights tracking the model evidence — O(N/B) device steps, so 1M rows is
 Run: python examples/smc_evidence.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # run from a bare checkout: python examples/<name>.py
+
 import numpy as np
 import jax
 import jax.numpy as jnp
